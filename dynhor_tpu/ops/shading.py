@@ -1,0 +1,112 @@
+"""Phong shading + UV texture sampling (pure JAX, differentiable).
+
+Replaces PyTorch3D's HardPhongShader/SoftPhongShader + TexturesUV
+(reference: ObjTracker/utils/render.py:140-148, pose_initializtion.py:417-419,
+167-170).  XLA fuses the whole shading pipeline into the rasterizer's
+consumer; no kernel needed — it's elementwise math over hit pixels.
+
+Lighting model (PyTorch3D Phong): ``texel * (ambient + diffuse * relu(n.l))
++ specular * relu(r.v)^shininess`` with point lights; the reference places
+one point light at the camera center with ambient 0.6, diffuse (0.4,0.4,0.5),
+specular 0.01 (render.py:140-146).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rasterize import Fragments, interpolate_attributes, interpolate_face_attributes
+
+Array = jax.Array
+
+
+class Lights(NamedTuple):
+    """Point light in CAMERA space (the reference's light sits at the camera
+    center, i.e. the origin)."""
+
+    location: Array  # (3,)
+    ambient: Array  # (3,)
+    diffuse: Array  # (3,)
+    specular: Array  # (3,)
+
+
+def default_lights(dtype=jnp.float32) -> Lights:
+    """The reference's prior-view lighting (render.py:140-146)."""
+    return Lights(
+        location=jnp.zeros(3, dtype),
+        ambient=jnp.array([0.6, 0.6, 0.6], dtype),
+        diffuse=jnp.array([0.4, 0.4, 0.5], dtype),
+        specular=jnp.array([0.01, 0.01, 0.01], dtype),
+    )
+
+
+def sample_texture(texture: Array, uv: Array) -> Array:
+    """Bilinear UV texture sampling (TexturesUV semantics: v up, align_corners).
+
+    Args:
+      texture: (Ht, Wt, 3).
+      uv: (..., 2) in [0, 1]; v=0 is the BOTTOM of the image (OBJ convention).
+
+    Returns: (..., 3).
+    """
+    ht, wt = texture.shape[0], texture.shape[1]
+    u = jnp.clip(uv[..., 0], 0.0, 1.0) * (wt - 1)
+    v = (1.0 - jnp.clip(uv[..., 1], 0.0, 1.0)) * (ht - 1)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, wt - 1)
+    y1 = jnp.minimum(y0 + 1, ht - 1)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    t00 = texture[y0, x0]
+    t01 = texture[y0, x1]
+    t10 = texture[y1, x0]
+    t11 = texture[y1, x1]
+    return (
+        t00 * (1 - fx) * (1 - fy)
+        + t01 * fx * (1 - fy)
+        + t10 * (1 - fx) * fy
+        + t11 * fx * fy
+    )
+
+
+def phong_shade(
+    fragments: Fragments,
+    faces: Array,
+    verts_cam: Array,
+    vert_normals_cam: Array,
+    face_uvs: Array,
+    texture: Array,
+    lights: Lights,
+    shininess: float = 64.0,
+    background: float = 1.0,
+) -> Array:
+    """Shade hit pixels; returns (H, W, 4) RGBA (alpha = hit mask).
+
+    Args:
+      fragments: from ops.rasterize.rasterize.
+      faces: (F, 3).
+      verts_cam: (V, 3) camera-space positions (differentiable path).
+      vert_normals_cam: (V, 3) unit normals in camera space.
+      face_uvs: (F, 3, 2) per-corner UVs.
+      texture: (Ht, Wt, 3).
+    """
+    hit = (fragments.pix_to_face >= 0)[..., None]
+    pos = interpolate_attributes(fragments, faces, verts_cam)  # (H, W, 3)
+    nrm = interpolate_attributes(fragments, faces, vert_normals_cam)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    uv = interpolate_face_attributes(fragments, face_uvs)  # (H, W, 2)
+    texel = sample_texture(texture, uv)
+
+    to_light = lights.location[None, None] - pos
+    l_dir = to_light / jnp.maximum(jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-12)
+    v_dir = -pos / jnp.maximum(jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-12)
+    ndl = jax.nn.relu(jnp.sum(nrm * l_dir, axis=-1, keepdims=True))
+    refl = 2.0 * jnp.sum(nrm * l_dir, axis=-1, keepdims=True) * nrm - l_dir
+    rdv = jax.nn.relu(jnp.sum(refl * v_dir, axis=-1, keepdims=True))
+    spec = lights.specular[None, None] * (rdv**shininess)
+    rgb = texel * (lights.ambient[None, None] + lights.diffuse[None, None] * ndl) + spec
+    rgb = jnp.where(hit, rgb, background)
+    return jnp.concatenate([rgb, hit.astype(rgb.dtype)], axis=-1)
