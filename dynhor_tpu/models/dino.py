@@ -1,0 +1,325 @@
+"""DINOv2 ViT-B/14 in pure JAX (functional, scan-over-layers).
+
+Replaces the frozen torch.hub ``dinov2_vitb14`` wrapper
+(ObjTracker/dino.py:4-22), which the reference uses both as a retrieval
+embedder for prior-view selection and as a differentiable perceptual-loss
+backbone (gradients flow THROUGH the frozen weights into the rendered
+image — pose_initializtion.py:170-184).
+
+TPU design notes:
+  * Patch embedding is a patch-unfold + one big matmul (MXU) rather than a
+    conv — identical math, better layout control.
+  * The 12 transformer blocks are stacked into one parameter pytree and
+    executed with ``lax.scan`` (fast compiles, uniform code), with optional
+    ``jax.checkpoint`` per block so vmapping the fine loss over all video
+    frames fits in HBM.
+  * Everything is bf16-friendly; params stay f32 by default (the model is
+    frozen — no optimizer state).
+
+Weights: load a torch ``state_dict`` checkpoint (official
+facebookresearch/dinov2 naming or HuggingFace transformers naming) via
+``convert_torch_state_dict``; with no checkpoint available (zero-egress
+environments) ``init_params`` gives a deterministic random model so the
+pipeline stays runnable end-to-end.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import resize_bicubic_halfpix
+
+Array = jax.Array
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoConfig:
+    """ViT-B/14 (dinov2_vitb14) — reference model at ObjTracker/dino.py:5."""
+
+    patch_size: int = 14
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: int = 4
+    pos_grid: int = 37  # native pos-embed grid (518 / 14)
+    smaller_edge_size: int = 518  # reference dino.py:5
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def feat_size(self) -> int:
+        # reference dino.py:16: smaller_edge_size // patch_size
+        return self.smaller_edge_size // self.patch_size
+
+
+def init_params(key: Array, cfg: DinoConfig = DinoConfig()) -> dict[str, Any]:
+    """Deterministic random init (trunc-normal 0.02), official layout."""
+    d = cfg.embed_dim
+    h = cfg.mlp_ratio * d
+    n_pos = cfg.pos_grid * cfg.pos_grid + 1
+    keys = jax.random.split(key, 8)
+
+    def tn(k, shape, std=0.02):
+        return std * jax.random.truncated_normal(k, -2.0, 2.0, shape, jnp.float32)
+
+    def blk(k, shape_in, shape_out):
+        return tn(k, (cfg.depth, shape_in, shape_out))
+
+    kb = jax.random.split(keys[7], 6)
+    return {
+        "cls_token": tn(keys[0], (1, 1, d)),
+        "pos_embed": tn(keys[1], (1, n_pos, d)),
+        "patch_kernel": tn(keys[2], (3 * cfg.patch_size**2, d)),
+        "patch_bias": jnp.zeros((d,)),
+        "blocks": {
+            "norm1_scale": jnp.ones((cfg.depth, d)),
+            "norm1_bias": jnp.zeros((cfg.depth, d)),
+            "qkv_kernel": blk(kb[0], d, 3 * d),
+            "qkv_bias": jnp.zeros((cfg.depth, 3 * d)),
+            "proj_kernel": blk(kb[1], d, d),
+            "proj_bias": jnp.zeros((cfg.depth, d)),
+            "ls1": jnp.full((cfg.depth, d), 1e-5),
+            "norm2_scale": jnp.ones((cfg.depth, d)),
+            "norm2_bias": jnp.zeros((cfg.depth, d)),
+            "fc1_kernel": blk(kb[2], d, h),
+            "fc1_bias": jnp.zeros((cfg.depth, h)),
+            "fc2_kernel": blk(kb[3], h, d),
+            "fc2_bias": jnp.zeros((cfg.depth, d)),
+            "ls2": jnp.full((cfg.depth, d), 1e-5),
+        },
+        "norm_scale": jnp.ones((d,)),
+        "norm_bias": jnp.zeros((d,)),
+    }
+
+
+def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _block(x: Array, p: dict[str, Array], num_heads: int, eps: float) -> Array:
+    b, n, d = x.shape
+    hd = d // num_heads
+    h = _layer_norm(x, p["norm1_scale"], p["norm1_bias"], eps)
+    qkv = h @ p["qkv_kernel"] + p["qkv_bias"]  # (B, N, 3D)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, n, num_heads, hd)
+    k = k.reshape(b, n, num_heads, hd)
+    v = v.reshape(b, n, num_heads, hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(jnp.float32(hd))
+    attn = jax.nn.softmax(attn, axis=-1)
+    o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
+    o = o @ p["proj_kernel"] + p["proj_bias"]
+    x = x + p["ls1"] * o
+    h = _layer_norm(x, p["norm2_scale"], p["norm2_bias"], eps)
+    h = jax.nn.gelu(h @ p["fc1_kernel"] + p["fc1_bias"], approximate=False)
+    h = h @ p["fc2_kernel"] + p["fc2_bias"]
+    return x + p["ls2"] * h
+
+
+def _interp_pos_embed(pos_embed: Array, grid0: int, gh: int, gw: int) -> Array:
+    """Bicubic pos-embed interpolation (dinov2 interpolate_pos_encoding)."""
+    cls_pe = pos_embed[:, :1]
+    patch_pe = pos_embed[:, 1:]
+    if gh == grid0 and gw == grid0:
+        return pos_embed
+    d = patch_pe.shape[-1]
+    grid = patch_pe.reshape(grid0, grid0, d).transpose(2, 0, 1)  # (D, g, g)
+    grid = resize_bicubic_halfpix(grid, gh, gw)
+    out = grid.transpose(1, 2, 0).reshape(1, gh * gw, d)
+    return jnp.concatenate([cls_pe, out], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
+def forward_tokens(
+    params: dict[str, Any], images: Array, cfg: DinoConfig = DinoConfig(), remat: bool = True
+) -> Array:
+    """ViT forward; returns final-layernormed PATCH tokens (B, N, D).
+
+    Equivalent to dinov2's ``get_intermediate_layers(x)[0]`` with default
+    n=1, norm=True (the reference's extract_features, dino.py:19-22): the
+    last block's output, final LN applied, cls token stripped.
+
+    Args:
+      images: (B, 3, H, W), ImageNet-normalized, H/W divisible by patch.
+    """
+    p = cfg.patch_size
+    b, c, hh, ww = images.shape
+    gh, gw = hh // p, ww // p
+    x = images.reshape(b, c, gh, p, gw, p).transpose(0, 2, 4, 1, 3, 5)
+    x = x.reshape(b, gh * gw, c * p * p)
+    x = x @ params["patch_kernel"] + params["patch_bias"]
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + _interp_pos_embed(params["pos_embed"], cfg.pos_grid, gh, gw)
+
+    def body(x, blk_params):
+        return _block(x, blk_params, cfg.num_heads, cfg.layer_norm_eps), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = _layer_norm(x, params["norm_scale"], params["norm_bias"], cfg.layer_norm_eps)
+    return x[:, 1:]
+
+
+def extract_features(
+    params: dict[str, Any], images01: Array, cfg: DinoConfig = DinoConfig(), remat: bool = True
+) -> Array:
+    """ImageNet-normalize then run the ViT (reference dino.py:19-22).
+
+    Args:
+      images01: (B, 3, H, W) in [0, 1].  Differentiable.
+    """
+    mean = jnp.asarray(IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(IMAGENET_STD).reshape(1, 3, 1, 1)
+    return forward_tokens(params, (images01 - mean) / std, cfg, remat)
+
+
+# --------------------------------------------------------------------------
+# Torch checkpoint conversion
+# --------------------------------------------------------------------------
+
+def convert_torch_state_dict(sd: dict[str, Any], cfg: DinoConfig = DinoConfig()):
+    """Convert a torch DINOv2 state_dict to our param pytree.
+
+    Accepts either the official facebookresearch/dinov2 naming
+    (``blocks.N.attn.qkv.weight`` ...) or HuggingFace transformers naming
+    (``encoder.layer.N.attention.attention.query.weight`` ...).
+    Values may be torch tensors or numpy arrays.
+    """
+
+    def a(t):
+        if hasattr(t, "detach"):
+            t = t.detach().cpu().numpy()
+        return np.asarray(t, np.float32)
+
+    def has(k):
+        return k in sd
+
+    official = has("blocks.0.attn.qkv.weight") or has("patch_embed.proj.weight")
+    d = cfg.embed_dim
+
+    if official:
+        patch_w = a(sd["patch_embed.proj.weight"])  # (D, 3, p, p)
+        patch_kernel = patch_w.reshape(d, -1).T  # (3*p*p, D)
+        patch_bias = a(sd["patch_embed.proj.bias"])
+        cls_token = a(sd["cls_token"])
+        pos_embed = a(sd["pos_embed"])
+
+        def stack(fmt, transpose=False):
+            arrs = [a(sd[fmt.format(i)]) for i in range(cfg.depth)]
+            arrs = [x.T if transpose else x for x in arrs]
+            return np.stack(arrs)
+
+        blocks = {
+            "norm1_scale": stack("blocks.{}.norm1.weight"),
+            "norm1_bias": stack("blocks.{}.norm1.bias"),
+            "qkv_kernel": stack("blocks.{}.attn.qkv.weight", transpose=True),
+            "qkv_bias": stack("blocks.{}.attn.qkv.bias"),
+            "proj_kernel": stack("blocks.{}.attn.proj.weight", transpose=True),
+            "proj_bias": stack("blocks.{}.attn.proj.bias"),
+            "ls1": stack("blocks.{}.ls1.gamma"),
+            "norm2_scale": stack("blocks.{}.norm2.weight"),
+            "norm2_bias": stack("blocks.{}.norm2.bias"),
+            "fc1_kernel": stack("blocks.{}.mlp.fc1.weight", transpose=True),
+            "fc1_bias": stack("blocks.{}.mlp.fc1.bias"),
+            "fc2_kernel": stack("blocks.{}.mlp.fc2.weight", transpose=True),
+            "fc2_bias": stack("blocks.{}.mlp.fc2.bias"),
+            "ls2": stack("blocks.{}.ls2.gamma"),
+        }
+        norm_scale = a(sd["norm.weight"])
+        norm_bias = a(sd["norm.bias"])
+    else:  # transformers naming
+        patch_w = a(sd["embeddings.patch_embeddings.projection.weight"])
+        patch_kernel = patch_w.reshape(d, -1).T
+        patch_bias = a(sd["embeddings.patch_embeddings.projection.bias"])
+        cls_token = a(sd["embeddings.cls_token"])
+        pos_embed = a(sd["embeddings.position_embeddings"])
+
+        def g(i, name):
+            return a(sd[f"encoder.layer.{i}.{name}"])
+
+        def stack_fn(fn):
+            return np.stack([fn(i) for i in range(cfg.depth)])
+
+        blocks = {
+            "norm1_scale": stack_fn(lambda i: g(i, "norm1.weight")),
+            "norm1_bias": stack_fn(lambda i: g(i, "norm1.bias")),
+            "qkv_kernel": stack_fn(
+                lambda i: np.concatenate(
+                    [
+                        g(i, "attention.attention.query.weight").T,
+                        g(i, "attention.attention.key.weight").T,
+                        g(i, "attention.attention.value.weight").T,
+                    ],
+                    axis=1,
+                )
+            ),
+            "qkv_bias": stack_fn(
+                lambda i: np.concatenate(
+                    [
+                        g(i, "attention.attention.query.bias"),
+                        g(i, "attention.attention.key.bias"),
+                        g(i, "attention.attention.value.bias"),
+                    ]
+                )
+            ),
+            "proj_kernel": stack_fn(lambda i: g(i, "attention.output.dense.weight").T),
+            "proj_bias": stack_fn(lambda i: g(i, "attention.output.dense.bias")),
+            "ls1": stack_fn(lambda i: g(i, "layer_scale1.lambda1")),
+            "norm2_scale": stack_fn(lambda i: g(i, "norm2.weight")),
+            "norm2_bias": stack_fn(lambda i: g(i, "norm2.bias")),
+            "fc1_kernel": stack_fn(lambda i: g(i, "mlp.fc1.weight").T),
+            "fc1_bias": stack_fn(lambda i: g(i, "mlp.fc1.bias")),
+            "fc2_kernel": stack_fn(lambda i: g(i, "mlp.fc2.weight").T),
+            "fc2_bias": stack_fn(lambda i: g(i, "mlp.fc2.bias")),
+            "ls2": stack_fn(lambda i: g(i, "layer_scale2.lambda1")),
+        }
+        norm_scale = a(sd["layernorm.weight"])
+        norm_bias = a(sd["layernorm.bias"])
+
+    n_patches = pos_embed.shape[1] - 1
+    grid = int(round(float(np.sqrt(n_patches))))
+    params = {
+        "cls_token": jnp.asarray(cls_token),
+        "pos_embed": jnp.asarray(pos_embed),
+        "patch_kernel": jnp.asarray(patch_kernel),
+        "patch_bias": jnp.asarray(patch_bias),
+        "blocks": jax.tree.map(jnp.asarray, blocks),
+        "norm_scale": jnp.asarray(norm_scale),
+        "norm_bias": jnp.asarray(norm_bias),
+    }
+    cfg_out = dataclasses.replace(cfg, pos_grid=grid)
+    return params, cfg_out
+
+
+def load_params(checkpoint_path: str | None, cfg: DinoConfig = DinoConfig(), seed: int = 0):
+    """Load converted torch weights if available; else deterministic random.
+
+    Returns (params, cfg).  Checkpoint formats: a torch-saved state_dict
+    (.pth) or a numpy .npz of the same keys.
+    """
+    if checkpoint_path:
+        import os
+
+        if not os.path.exists(checkpoint_path):
+            raise FileNotFoundError(checkpoint_path)
+        if checkpoint_path.endswith(".npz"):
+            sd = dict(np.load(checkpoint_path))
+        else:
+            import torch
+
+            sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+        return convert_torch_state_dict(sd, cfg)
+    return init_params(jax.random.PRNGKey(seed), cfg), cfg

@@ -51,6 +51,40 @@ def _bicubic_matrix_ac(in_size: int, out_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
+def _bicubic_matrix_halfpix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) resampling matrix, align_corners=False
+    (half-pixel convention: src = (dst + 0.5) * in/out - 0.5), clamped taps.
+    Matches torch F.interpolate(mode='bicubic', align_corners=False,
+    antialias=False) for upsampling."""
+    if in_size == out_size:
+        return np.eye(in_size, dtype=np.float32)
+    src = (np.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+    base = np.floor(src).astype(np.int64)
+    t = src - base
+    mat = np.zeros((out_size, in_size), dtype=np.float64)
+    for tap in range(-1, 3):
+        idx = np.clip(base + tap, 0, in_size - 1)
+        wgt = _cubic_kernel(tap - t)
+        np.add.at(mat, (np.arange(out_size), idx), wgt)
+    return mat.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_bicubic_halfpix(images: Array, out_h: int, out_w: int) -> Array:
+    """Bicubic resize, align_corners=False (torch parity, no antialias).
+
+    Args:
+      images: (..., H, W).
+    """
+    h, w = images.shape[-2], images.shape[-1]
+    wy = jnp.asarray(_bicubic_matrix_halfpix(h, out_h))
+    wx = jnp.asarray(_bicubic_matrix_halfpix(w, out_w))
+    x = images.astype(jnp.float32)
+    x = jnp.einsum("oh,...hw->...ow", wy, x)
+    return jnp.einsum("pw,...hw->...hp", wx, x)
+
+
+@functools.lru_cache(maxsize=64)
 def _nearest_indices(in_size: int, out_size: int) -> np.ndarray:
     """torch 'nearest' source indices: floor(dst * in / out)."""
     idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)

@@ -1,0 +1,139 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from dynhor_tpu.models import dino as D
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    from transformers import Dinov2Config, Dinov2Model
+
+    cfg = Dinov2Config(
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=256,
+        patch_size=14,
+        image_size=224,
+        layerscale_value=0.7,
+    )
+    torch.manual_seed(0)
+    model = Dinov2Model(cfg)
+    model.eval()
+    return model
+
+
+def _small_cfg():
+    return D.DinoConfig(
+        patch_size=14, embed_dim=64, depth=3, num_heads=4, pos_grid=16,
+        smaller_edge_size=224,
+    )
+
+
+def test_matches_transformers_at_native_size(hf_model):
+    cfg = _small_cfg()
+    params, cfg = D.convert_torch_state_dict(hf_model.state_dict(), cfg)
+    rng = np.random.RandomState(0)
+    img = rng.rand(2, 3, 224, 224).astype(np.float32)
+    with torch.no_grad():
+        want = hf_model(torch.from_numpy(img)).last_hidden_state.numpy()[:, 1:]
+    got = np.asarray(D.forward_tokens(params, jnp.asarray(img), cfg))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_matches_transformers_interpolated_size(hf_model):
+    # Non-native input size exercises the bicubic pos-embed interpolation
+    # (dinov2 interpolate_pos_encoding path).
+    cfg = _small_cfg()
+    params, cfg = D.convert_torch_state_dict(hf_model.state_dict(), cfg)
+    rng = np.random.RandomState(1)
+    img = rng.rand(1, 3, 280, 280).astype(np.float32)
+    with torch.no_grad():
+        want = hf_model(torch.from_numpy(img)).last_hidden_state.numpy()[:, 1:]
+    got = np.asarray(D.forward_tokens(params, jnp.asarray(img), cfg))
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_official_naming_conversion_roundtrip(hf_model):
+    # Build an official-style state_dict from the HF one and check both
+    # conversion paths agree.
+    hf_sd = hf_model.state_dict()
+    cfg = _small_cfg()
+    p_hf, cfg_hf = D.convert_torch_state_dict(hf_sd, cfg)
+
+    official = {
+        "cls_token": hf_sd["embeddings.cls_token"],
+        "pos_embed": hf_sd["embeddings.position_embeddings"],
+        "patch_embed.proj.weight": hf_sd["embeddings.patch_embeddings.projection.weight"],
+        "patch_embed.proj.bias": hf_sd["embeddings.patch_embeddings.projection.bias"],
+        "norm.weight": hf_sd["layernorm.weight"],
+        "norm.bias": hf_sd["layernorm.bias"],
+    }
+    for i in range(cfg.depth):
+        pre = f"encoder.layer.{i}."
+        qkv_w = torch.cat(
+            [
+                hf_sd[pre + "attention.attention.query.weight"],
+                hf_sd[pre + "attention.attention.key.weight"],
+                hf_sd[pre + "attention.attention.value.weight"],
+            ],
+            dim=0,
+        )
+        qkv_b = torch.cat(
+            [
+                hf_sd[pre + "attention.attention.query.bias"],
+                hf_sd[pre + "attention.attention.key.bias"],
+                hf_sd[pre + "attention.attention.value.bias"],
+            ]
+        )
+        official.update(
+            {
+                f"blocks.{i}.norm1.weight": hf_sd[pre + "norm1.weight"],
+                f"blocks.{i}.norm1.bias": hf_sd[pre + "norm1.bias"],
+                f"blocks.{i}.attn.qkv.weight": qkv_w,
+                f"blocks.{i}.attn.qkv.bias": qkv_b,
+                f"blocks.{i}.attn.proj.weight": hf_sd[pre + "attention.output.dense.weight"],
+                f"blocks.{i}.attn.proj.bias": hf_sd[pre + "attention.output.dense.bias"],
+                f"blocks.{i}.ls1.gamma": hf_sd[pre + "layer_scale1.lambda1"],
+                f"blocks.{i}.norm2.weight": hf_sd[pre + "norm2.weight"],
+                f"blocks.{i}.norm2.bias": hf_sd[pre + "norm2.bias"],
+                f"blocks.{i}.mlp.fc1.weight": hf_sd[pre + "mlp.fc1.weight"],
+                f"blocks.{i}.mlp.fc1.bias": hf_sd[pre + "mlp.fc1.bias"],
+                f"blocks.{i}.mlp.fc2.weight": hf_sd[pre + "mlp.fc2.weight"],
+                f"blocks.{i}.mlp.fc2.bias": hf_sd[pre + "mlp.fc2.bias"],
+                f"blocks.{i}.ls2.gamma": hf_sd[pre + "layer_scale2.lambda1"],
+            }
+        )
+    p_of, _ = D.convert_torch_state_dict(official, cfg)
+    for k in ["cls_token", "pos_embed", "patch_kernel", "norm_scale"]:
+        np.testing.assert_allclose(np.asarray(p_hf[k]), np.asarray(p_of[k]))
+    for k in p_hf["blocks"]:
+        np.testing.assert_allclose(
+            np.asarray(p_hf["blocks"][k]), np.asarray(p_of["blocks"][k]), err_msg=k
+        )
+
+
+def test_extract_features_shape_and_grad():
+    cfg = _small_cfg()
+    params = D.init_params(jax.random.PRNGKey(0), cfg)
+    img = jnp.ones((1, 3, 56, 56)) * 0.5
+
+    feats = D.extract_features(params, img, cfg)
+    assert feats.shape == (1, 16, 64)
+
+    # Differentiable w.r.t. the input image (the fine-loss path).
+    def loss(x):
+        return jnp.sum(D.extract_features(params, x, cfg) ** 2)
+
+    g = jax.grad(loss)(img)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_feat_size_matches_reference():
+    assert D.DinoConfig().feat_size == 37  # 518 // 14, dino.py:16
