@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark: pose-optimization throughput on the flagship hot loop.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: pose-opt frames/sec — video frames fully refined per second by the
+stage-1 fine-mode optimizer (100 Adam steps/frame, each step = soft
+silhouette raster + hard raster + textured Phong render + DINO ViT-B/14
+forward+backward at 518^2 + losses), i.e. the reference's hottest loop
+(pose_initializtion.py:347-356, SURVEY.md §3 'hot loops ranked').
+
+Baseline: the reference publishes no numbers (BASELINE.md).  vs_baseline
+uses the estimate recorded in BASELINE.md (reference GPU ~0.10 frames/sec:
+~10 fine Adam steps/sec on a desktop GPU for batch-1 DINO fwd+bwd + two
+rasterizations, 100 steps/frame, frames sequential).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_FRAMES_PER_SEC = 0.10  # documented estimate, see BASELINE.md
+FRAMES = 4
+ITERS = 10  # timed steps; frames/sec extrapolated to the 100-step refine
+CROP = 256
+REFINE_STEPS_FULL = 100
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from dynhor_tpu.models import dino as D
+    from dynhor_tpu.ops.resize import resize_bicubic_align_corners
+    from dynhor_tpu.tracker import refine as RF
+    from dynhor_tpu.utils import geometry as G
+    from dynhor_tpu.utils.objio import load_obj
+
+    mesh_data = load_obj("assets/shoes/1229a2e6e97e_A_basketball_shoes_.obj")
+    verts = G.center_and_normalize_verts(jnp.asarray(mesh_data.verts))
+    mesh = RF.MeshArrays(
+        verts=verts,
+        faces=jnp.asarray(mesh_data.faces),
+        face_uvs=jnp.asarray(mesh_data.face_uvs),
+        texture=jnp.asarray(mesh_data.texture),
+    )
+
+    dparams, dcfg = D.load_params(None)  # ViT-B/14, random weights (timing only)
+
+    key = jax.random.PRNGKey(0)
+    rot = G.random_rotations(key, FRAMES)
+    trans = jnp.tile(jnp.array([[0.0, 0.0, 1.75]]), (FRAMES, 1))
+    K = jnp.array(
+        [[CROP * 1.2, 0, CROP / 2], [0, CROP * 1.2, CROP / 2], [0, 0, 1.0]],
+        jnp.float32,
+    )
+
+    # Synthetic-but-realistic targets: render masks from jittered poses.
+    import dynhor_tpu.ops.rasterize as RZ
+
+    @jax.jit
+    def make_target(R_row, t):
+        vc = verts @ R_row + t
+        vp = RZ.project_perspective(vc, K)
+        frag = RZ.rasterize(vp, mesh.faces, (CROP, CROP), face_chunk=512)
+        return (frag.pix_to_face >= 0).astype(jnp.float32)
+
+    targets_m = jnp.stack([make_target(rot[i], trans[i]) for i in range(FRAMES)])
+    p = dcfg.feat_size**2
+    gt_feats = jax.random.normal(jax.random.PRNGKey(1), (FRAMES, p, dcfg.embed_dim))
+    gt_feats = gt_feats / jnp.linalg.norm(gt_feats, axis=-1, keepdims=True)
+    targets = RF.FrameTargets(
+        target_masks=targets_m, gt_feats=gt_feats, K_rois=jnp.tile(K, (FRAMES, 1, 1))
+    )
+
+    cfg = RF.RefineConfig(
+        num_iterations=ITERS, crop_size=CROP, mode="fine", face_chunk=512
+    )
+
+    t0 = time.time()
+    res = RF.refine_poses(mesh, targets, rot, trans, dparams, dcfg, cfg)
+    jax.block_until_ready(res.rot6d)
+    compile_and_first = time.time() - t0
+
+    t0 = time.time()
+    res = RF.refine_poses(mesh, targets, rot, trans * 1.0001, dparams, dcfg, cfg)
+    jax.block_until_ready(res.rot6d)
+    steady = time.time() - t0
+
+    frames_per_sec = FRAMES / (steady * (REFINE_STEPS_FULL / ITERS))
+    print(
+        f"[bench] compile+first: {compile_and_first:.1f}s, "
+        f"steady {ITERS} iters x {FRAMES} frames: {steady:.2f}s "
+        f"({FRAMES * ITERS / steady:.2f} frame-iters/sec)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "pose-opt frames/sec (fine refine, 100 steps/frame)",
+                "value": round(frames_per_sec, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""YAML config loading with defaults (reference: run.py:91-95 + SURVEY.md §5).
+
+The reference's flat schema (seq_name, exp_name, data_info.*, random_render,
+system.*) is honored verbatim; knobs the reference hard-codes (prior view
+count, distances, DINO model/edge size, gating thresholds, ...) are
+surfaced under the same tree with reference-matching defaults.
+"""
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any
+
+import yaml
+
+DEFAULTS: dict[str, Any] = {
+    "seq_name": None,
+    "exp_name": "pred",
+    "data_info": {
+        "dataroot": None,
+        "obj_path": None,
+        "normalize_mesh": True,
+    },
+    "random_render": True,  # run.py:130
+    "system": {
+        "init_num_iterations": 100,  # custom_shoes.yaml:12
+        "init_lr": 0.01,
+        "joint_num_iterations": 200,
+        "joint_lr": 0.0001,
+        "loss": {"lw_sil_obj": 1.0, "lw_smooth_obj": 10.0},
+        # --- knobs hard-coded in the reference (SURVEY.md §5) ---
+        "prior": {
+            "num_views": 6000,  # run.py:132
+            "distance_scale": 3.5,  # run.py:133
+            "grid": [30, 10, 13],  # run.py:136 (used if random_render false)
+            "render_hw": [384, 384],  # constants.py:4
+            "view_chunk": 25,
+            "seed": 0,
+        },
+        "dino": {
+            "checkpoint": None,  # path to torch .pth / .npz; random if None
+            "smaller_edge_size": 518,  # dino.py:5
+        },
+        "crop_size": 256,  # constants.py:2
+        "bbox_expansion": 0.3,  # constants.py:3
+        "focal_factor": 1.2,  # run.py:121
+        "offscreen_weight": 1.0e5,  # pose_initializtion.py:154,185
+        "parallel_refine": True,  # vmapped pipeline; False = sequential parity
+        "sigma": 0.25,  # soft-silhouette edge band (ours)
+        "face_chunk": 512,
+        "frame_chunk": None,  # optional microbatching of frames
+        "devices": None,  # None = all local devices for the frame shard
+    },
+}
+
+
+def _merge(dst: dict, src: dict) -> dict:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _merge(dst[k], v)
+        else:
+            dst[k] = v
+    return dst
+
+
+def load_config(path: str) -> dict[str, Any]:
+    with open(path, "r") as f:
+        user = yaml.safe_load(f) or {}
+    cfg = copy.deepcopy(DEFAULTS)
+    _merge(cfg, user)
+    cfg["_config_path"] = os.path.abspath(path)
+    return cfg
+
+
+def experiment_dir(cfg: dict[str, Any], root: str = "exps") -> str:
+    """exps/<seq>/<exp> (run.py:125-128 contract)."""
+    return os.path.join(root, str(cfg["seq_name"]), str(cfg["exp_name"]))

@@ -42,6 +42,18 @@ def default_lights(dtype=jnp.float32) -> Lights:
     )
 
 
+def fine_lights(dtype=jnp.float32) -> Lights:
+    """PyTorch3D PointLights defaults — the fine-loss textured render uses
+    SoftPhongShader with no explicit lights (pose_initializtion.py:417-419):
+    location (0, 1, 0), ambient 0.5, diffuse 0.3, specular 0.2."""
+    return Lights(
+        location=jnp.array([0.0, 1.0, 0.0], dtype),
+        ambient=jnp.array([0.5, 0.5, 0.5], dtype),
+        diffuse=jnp.array([0.3, 0.3, 0.3], dtype),
+        specular=jnp.array([0.2, 0.2, 0.2], dtype),
+    )
+
+
 def sample_texture(texture: Array, uv: Array) -> Array:
     """Bilinear UV texture sampling (TexturesUV semantics: v up, align_corners).
 

@@ -43,7 +43,7 @@ def _point_segment_dist2(px, py, ax, ay, bx, by, eps=1e-12):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("image_size", "face_chunk")
+    jax.jit, static_argnames=("image_size", "face_chunk", "dist_mode")
 )
 def soft_silhouette(
     verts_pix: Array,
@@ -52,6 +52,7 @@ def soft_silhouette(
     sigma: float = 0.25,
     face_chunk: int = 512,
     znear: float = 1e-2,
+    dist_mode: str = "linear",
 ) -> Array:
     """Soft silhouette in [0, 1].
 
@@ -60,8 +61,13 @@ def soft_silhouette(
         ops.rasterize.project_perspective.  Gradients flow to these.
       faces: (F, 3) int32.
       image_size: (H, W), static.
-      sigma: edge softness in px^2; logit = sign * d^2 / sigma.  The default
-        0.25 gives a ~±1 px transition band.
+      sigma: edge softness.  With dist_mode="linear" (default) the logit is
+        ``signed_d / sigma`` — the sigmoid then approximates true
+        antialiased pixel coverage (slope 1/(4 sigma) per px at the edge;
+        sigma=0.25 matches the ideal 1 px linear ramp), which keeps the
+        soft optimum unbiased w.r.t. the hard silhouette.  dist_mode=
+        "squared" is the original SoftRas ``sign * d^2 / sigma`` (flat at
+        the edge; biases object scale/depth slightly — kept for ablation).
       face_chunk: faces per scan step (memory knob), static.
       znear: faces entirely behind this depth are dropped.
 
@@ -107,7 +113,10 @@ def soft_silhouette(
                 _point_segment_dist2(px, py, x2, y2, x0, y0),
             ),
         )
-        logit = sign * d2 * inv_sigma
+        if dist_mode == "linear":
+            logit = sign * jnp.sqrt(jnp.maximum(d2, 1e-12)) * inv_sigma
+        else:  # "squared" (SoftRas)
+            logit = sign * d2 * inv_sigma
         # Faces behind the camera or padded do not contribute.
         visible = real_mask & ((z0 > znear) | (z1 > znear) | (z2 > znear))
         mass = jnp.where(visible[None, :], jax.nn.softplus(logit), 0.0)

@@ -1,0 +1,347 @@
+"""End-to-end pose-tracking pipeline (reference: ObjTracker/run.py).
+
+Host side: sequence loading (rgb + SAM segmentation channels), per-frame
+crop/occlusion preprocessing with EXACT adaptive ROIAlign (numpy — this
+runs once, off the hot path).  Device side: one fused prior-scoring jit,
+the gating scan, the vmapped refine and the joint optimizer.
+
+Two refine modes (system.parallel_refine):
+  * True  (default): gating on selected rotations, then ALL frames refined
+    in one vmapped Adam loop — the TPU-native design (SURVEY.md §2.3).
+  * False: sequential per-frame loop threading the REFINED rotation into
+    the next frame's gate — control-flow-faithful to the reference
+    (pose_initializtion.py:404-457).
+"""
+from __future__ import annotations
+
+import dataclasses
+import glob as globlib
+import os
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.artifacts import Board, copy_config, save_pose_npzs
+from ..io.config import experiment_dir
+from ..models import dino as dino_mod
+from ..ops.roi_align import crop_mask_bool_np, roi_align_exact_np
+from ..utils import bbox as bboxu
+from ..utils import camera as cam
+from ..utils import geometry as G
+from ..utils.objio import MeshData, load_obj
+from . import jointopt as J
+from . import priors as P
+from . import refine as RF
+from . import selection as S
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Host-side data loading & preprocessing
+# ---------------------------------------------------------------------------
+
+class SequenceData(NamedTuple):
+    frame_ids: list[str]
+    images: np.ndarray  # (F, H, W, 3) uint8
+    obj_masks: np.ndarray  # (F, H, W) bool
+    hand_masks: np.ndarray  # (F, H, W) bool
+
+
+def load_sequence(dataroot: str) -> SequenceData:
+    """Load rgb/*.jpg|png + sam_seg/*.png (run.py:74-88,99).
+
+    SAM channel convention (run.py:84-85): G==255 -> object, B==255 -> hand.
+    The reference globs '*.jpg' although its README documents '.png'
+    (SURVEY.md quirks) — we accept both.
+    """
+    from PIL import Image
+
+    rgb_dir = os.path.join(dataroot, "rgb")
+    paths = sorted(globlib.glob(os.path.join(rgb_dir, "*.jpg")))
+    if not paths:
+        paths = sorted(globlib.glob(os.path.join(rgb_dir, "*.png")))
+    if not paths:
+        raise FileNotFoundError(f"no rgb frames under {rgb_dir}")
+    frame_ids = [os.path.basename(p)[:-4] for p in paths]
+    images, obj_masks, hand_masks = [], [], []
+    for p, fid in zip(paths, frame_ids):
+        images.append(np.asarray(Image.open(p).convert("RGB")))
+        seg_path = os.path.join(dataroot, "sam_seg", fid + ".png")
+        seg = np.asarray(Image.open(seg_path))
+        obj_masks.append(seg[:, :, 1] == 255)
+        hand_masks.append(seg[:, :, -1] == 255)
+    return SequenceData(
+        frame_ids, np.stack(images), np.stack(obj_masks), np.stack(hand_masks)
+    )
+
+
+class FrameAnnotations(NamedTuple):
+    bbox_xywh: np.ndarray  # (F, 4) tight object bbox, full-image pixels
+    square_xyxy: np.ndarray  # (F, 4) expanded square crop box
+    crop_images: np.ndarray  # (F, 3, S, S) float32 [0,1], white outside mask
+    target_masks: np.ndarray  # (F, S, S) float32 {-1, 0, 1}
+
+
+def process_frames(
+    seq: SequenceData, crop_size: int = 256, bbox_expansion: float = 0.3
+) -> FrameAnnotations:
+    """Per-frame crops + occlusion-aware targets (run.py:26-72).
+
+    Exact detectron2 ROIAlign semantics via the adaptive numpy path
+    (sampling_ratio=0, aligned=True).
+    """
+    f, h, w = seq.obj_masks.shape
+    bboxes, squares, crops, targets = [], [], [], []
+    for i in range(f):
+        om = seq.obj_masks[i]
+        nz = np.nonzero(om)
+        if len(nz[0]) == 0:
+            raise ValueError(f"frame {seq.frame_ids[i]}: empty object mask")
+        min_row = max(nz[0].min() - 5.0, 0)
+        max_row = min(nz[0].max() + 5.0, h)
+        min_col = max(nz[1].min() - 5.0, 0)
+        max_col = min(nz[1].max() + 5.0, w)
+        box_xyxy = np.array([min_col, min_row, max_col, max_row], np.float32)
+        bbox_xywh = np.asarray(bboxu.bbox_xy_to_wh(box_xyxy))
+        sq_xywh = np.asarray(bboxu.make_bbox_square(bbox_xywh, bbox_expansion))
+        sq_xyxy = np.asarray(bboxu.bbox_wh_to_xy(sq_xywh)).astype(np.float32)
+
+        crop_mask = crop_mask_bool_np(om.astype(np.float32), sq_xyxy, crop_size)
+        img = seq.images[i].astype(np.float32).transpose(2, 0, 1) / 255.0
+        crop_img = roi_align_exact_np(img, sq_xyxy, crop_size)
+        crop_img = np.where(crop_mask[None], crop_img, 1.0)
+
+        hand_crop = crop_mask_bool_np(
+            seq.hand_masks[i].astype(np.float32), sq_xyxy, crop_size
+        )
+        target = np.where(hand_crop, -1.0, 0.0)
+        target[crop_mask] = 1.0  # object wins (maskutils.py:25-28)
+
+        bboxes.append(bbox_xywh)
+        squares.append(sq_xyxy)
+        crops.append(crop_img)
+        targets.append(target.astype(np.float32))
+    return FrameAnnotations(
+        np.stack(bboxes).astype(np.float32),
+        np.stack(squares),
+        np.stack(crops).astype(np.float32),
+        np.stack(targets),
+    )
+
+
+def load_mesh(obj_path: str, normalize: bool = True) -> MeshData:
+    """Load + optionally normalize the template mesh (run.py:107-117)."""
+    mesh = load_obj(obj_path)
+    verts = mesh.verts
+    if normalize:
+        verts = np.asarray(
+            G.center_and_normalize_verts(jnp.asarray(verts)), np.float32
+        )
+    return dataclasses.replace(mesh, verts=verts)
+
+
+# ---------------------------------------------------------------------------
+# Device-side orchestration
+# ---------------------------------------------------------------------------
+
+class TrackResult(NamedTuple):
+    rotations_row: np.ndarray  # (F, 3, 3) final row-convention rotations
+    translations: np.ndarray  # (F, 1, 3)
+    init_rotations_row: np.ndarray  # (F, 3, 3) stage-1 output (pre-joint)
+    init_translations: np.ndarray
+    selected_idx: np.ndarray  # (F,) prior view chosen by gating
+    K: np.ndarray  # (3, 3) full-image intrinsics
+    K_rois: np.ndarray  # (F, 3, 3) crop intrinsics (pixel units)
+    history: dict[str, np.ndarray]  # joint-opt loss curves
+    refine_loss: np.ndarray  # (F,) final stage-1 losses
+    refine_iou: np.ndarray  # (F,)
+
+
+def _mesh_arrays(mesh: MeshData) -> RF.MeshArrays:
+    return RF.MeshArrays(
+        verts=jnp.asarray(mesh.verts),
+        faces=jnp.asarray(mesh.faces),
+        face_uvs=jnp.asarray(mesh.face_uvs),
+        texture=jnp.asarray(mesh.texture),
+    )
+
+
+def track_sequence(
+    config: dict[str, Any],
+    seq: SequenceData,
+    ann: FrameAnnotations,
+    mesh: MeshData,
+    dino_params=None,
+    dino_cfg: dino_mod.DinoConfig | None = None,
+    board: Board | None = None,
+) -> TrackResult:
+    """Stage 1 (init + refine) + stage 2 (joint) for a whole sequence."""
+    sysc = config["system"]
+    s = int(sysc["crop_size"])
+    f_frames, h, w = seq.obj_masks.shape
+
+    if dino_params is None:
+        dino_params, dino_cfg = dino_mod.load_params(
+            sysc["dino"].get("checkpoint"),
+            dino_mod.DinoConfig(smaller_edge_size=int(sysc["dino"]["smaller_edge_size"])),
+        )
+
+    K_full = np.asarray(cam.intrinsics_from_image(h, w, float(sysc["focal_factor"])))
+    mesh_arrays = _mesh_arrays(mesh)
+
+    # ---- prior views: fused render->crop->DINO->score ----
+    pc = sysc["prior"]
+    prior_cfg = P.PriorConfig(
+        num_views=int(pc["num_views"]),
+        render_h=int(pc["render_hw"][0]),
+        render_w=int(pc["render_hw"][1]),
+        distance_scale=float(pc["distance_scale"]),
+        crop_size=s,
+        bbox_expansion=float(sysc["bbox_expansion"]),
+        view_chunk=int(pc["view_chunk"]),
+        face_chunk=int(sysc["face_chunk"]),
+        grid=None if config.get("random_render", True) else tuple(pc["grid"]),
+    )
+    key = jax.random.PRNGKey(int(pc.get("seed", 0)))
+    view_rots = P.prior_view_rotations(key, prior_cfg)  # (N, 3, 3) world->cam
+    priors_row = jnp.swapaxes(view_rots, -1, -2)  # row convention
+
+    gt_feats, cos_masks = P.frame_gt_features(
+        dino_params, dino_cfg, jnp.asarray(ann.crop_images), jnp.asarray(ann.target_masks)
+    )
+    radius, _ = P.mesh_radius_center(mesh_arrays.verts)
+    window = P.compute_window(
+        prior_cfg, float(radius), float(prior_cfg.distance_scale * radius)
+    )
+    scores = P.prior_scores_and_rotations(
+        dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
+        mesh_arrays.face_uvs, mesh_arrays.texture, view_rots, gt_feats,
+        cos_masks, prior_cfg, window,
+    )
+
+    # ---- K_rois + refine config ----
+    sq = jnp.asarray(ann.square_xyxy)
+    K_rois = cam.get_K_crop_resize(
+        jnp.broadcast_to(jnp.asarray(K_full), (f_frames, 3, 3)), sq, s
+    )
+    refine_cfg = RF.RefineConfig(
+        num_iterations=int(sysc["init_num_iterations"]),
+        lr=float(sysc["init_lr"]),
+        crop_size=s,
+        offscreen_weight=float(sysc["offscreen_weight"]),
+        sigma=float(sysc["sigma"]),
+        face_chunk=int(sysc["face_chunk"]),
+        mode="fine",
+    )
+    targets = RF.FrameTargets(
+        target_masks=jnp.asarray(ann.target_masks),
+        gt_feats=gt_feats,
+        K_rois=K_rois,
+    )
+
+    def autodepth(rot_row, bbox_xywh):
+        pts = jnp.einsum("vj,bjk->bvk", mesh_arrays.verts, rot_row)
+        return cam.tco_init_from_boxes_autodepth(
+            jnp.asarray(bbox_xywh), pts,
+            jnp.broadcast_to(jnp.asarray(K_full), (rot_row.shape[0], 3, 3)),
+        )
+
+    if bool(sysc.get("parallel_refine", True)):
+        gate = S.gate_all_frames(scores, priors_row)
+        rot_init = gate.rotation_init  # (F, 3, 3)
+        trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
+        res = RF.refine_poses(
+            mesh_arrays, targets, rot_init, trans_init, dino_params, dino_cfg,
+            refine_cfg,
+        )
+        rot6d, trans = res.rot6d, res.translations
+        sel_idx = np.asarray(gate.selected_idx)
+        losses, ious = np.asarray(res.final_loss), np.asarray(res.final_iou)
+    else:
+        # Sequential parity mode: thread the REFINED rotation into the gate.
+        state = S.initial_state()
+        rot6d_list, trans_list, sel_list, loss_list, iou_list = [], [], [], [], []
+        for i in range(f_frames):
+            state, gate = S.gate_frame(state, scores[i], priors_row)
+            t0 = autodepth(gate.rotation_init[None], ann.bbox_xywh[i : i + 1])
+            one_targets = RF.FrameTargets(
+                target_masks=targets.target_masks[i : i + 1],
+                gt_feats=targets.gt_feats[i : i + 1],
+                K_rois=targets.K_rois[i : i + 1],
+            )
+            res = RF.refine_poses(
+                mesh_arrays, one_targets, gate.rotation_init[None], t0,
+                dino_params, dino_cfg, refine_cfg,
+            )
+            refined_row = G.rot6d_to_matrix(res.rot6d)[0]
+            state = state._replace(prev_rotation=refined_row)
+            rot6d_list.append(res.rot6d[0])
+            trans_list.append(res.translations[0])
+            sel_list.append(int(gate.selected_idx))
+            loss_list.append(float(res.final_loss[0]))
+            iou_list.append(float(res.final_iou[0]))
+        rot6d = jnp.stack(rot6d_list)
+        trans = jnp.stack(trans_list)
+        sel_idx = np.asarray(sel_list, np.int32)
+        losses, ious = np.asarray(loss_list), np.asarray(iou_list)
+
+    init_rot_row = G.rot6d_to_matrix(rot6d)
+
+    # ---- stage 2: joint temporal optimization ----
+    joint_cfg = J.JointConfig(
+        num_iterations=int(sysc["joint_num_iterations"]),
+        lr=float(sysc["joint_lr"]),
+        lw_sil_obj=float(sysc["loss"]["lw_sil_obj"]),
+        lw_smooth_obj=float(sysc["loss"]["lw_smooth_obj"]),
+        crop_size=s,
+        sigma=float(sysc["sigma"]),
+        face_chunk=int(sysc["face_chunk"]),
+    )
+    jres = J.joint_optimize(
+        mesh_arrays.verts, mesh_arrays.faces, init_rot_row, trans, K_rois,
+        jnp.asarray(ann.target_masks), joint_cfg,
+    )
+    history = {k: np.asarray(v) for k, v in jres.history.items()}
+    if board is not None:
+        board.add_history(history)
+
+    return TrackResult(
+        rotations_row=np.asarray(G.rot6d_to_matrix(jres.rot6d)),
+        translations=np.asarray(jres.translations),
+        init_rotations_row=np.asarray(init_rot_row),
+        init_translations=np.asarray(trans),
+        selected_idx=sel_idx,
+        K=K_full,
+        K_rois=np.asarray(K_rois),
+        history=history,
+        refine_loss=losses,
+        refine_iou=ious,
+    )
+
+
+def run_from_config(config: dict[str, Any], exps_root: str = "exps") -> TrackResult:
+    """Full run.py-equivalent: load, track, save artifacts."""
+    data_info = config["data_info"]
+    seq = load_sequence(data_info["dataroot"])
+    ann = process_frames(
+        seq,
+        crop_size=int(config["system"]["crop_size"]),
+        bbox_expansion=float(config["system"]["bbox_expansion"]),
+    )
+    mesh = load_mesh(data_info["obj_path"], bool(data_info.get("normalize_mesh", True)))
+
+    exp_dir = experiment_dir(config, exps_root)
+    os.makedirs(exp_dir, exist_ok=True)
+    if config.get("_config_path"):
+        copy_config(exp_dir, config["_config_path"])
+    board = Board(exp_dir)
+
+    result = track_sequence(config, seq, ann, mesh, board=board)
+    save_pose_npzs(
+        exp_dir, seq.frame_ids, result.rotations_row, result.translations, result.K
+    )
+    board.close()
+    return result

@@ -1,0 +1,252 @@
+"""Prior-view rendering + DINO scoring, fused per chunk (pure JAX).
+
+Behavioral reference: ObjTracker/utils/render.py:125-285 (6,000 random or
+azimuth x elevation x roll grid Phong renders of the template mesh at
+384x384, distance 3.5 x radius) and pose_initializtion.py:188-246
+(per-view square crop -> 256^2 -> DINO features) + :294-297 (masked cosine
+scores of every frame against every prior view).
+
+TPU re-design (this is NOT a transcription):
+  * The reference renders all views (x100 chunks), spills images to CPU
+    (render.py:272), re-uploads per view for cropping
+    (pose_initializtion.py:197), stores 6000 x 1369 x 768 features on CPU
+    ("save the memory") and computes the cosine on CPU per frame.  Here the
+    whole chain render -> bbox -> ROI crop -> DINO -> cosine-vs-all-frames
+    runs inside ONE jit as a lax.map over view chunks; only the (F, N)
+    score matrix and the (N, 3, 3) rotations survive.  Nothing is
+    materialized at 6000-scale.
+  * Rendering happens in a reduced central WINDOW: the camera always looks
+    at the mesh center from a fixed distance, so the silhouette lies in a
+    known disc; rendering the enclosing window with a principal-point-
+    shifted K is pixel-identical to the reference's full-frame render
+    followed by cropping, at a fraction of the rasterization cost.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..models import dino as dino_mod
+from ..ops import rasterize as rz
+from ..ops import silhouette  # noqa: F401  (re-exported for kernels tests)
+from ..ops.resize import resize_bicubic_align_corners, resize_nearest
+from ..ops.roi_align import roi_align
+from ..ops.shading import default_lights, phong_shade
+from ..utils import bbox as bboxu
+from ..utils import geometry as G
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorConfig:
+    """Prior rendering knobs (reference hard-codes most of these —
+    SURVEY.md §5 'config system')."""
+
+    num_views: int = 6000  # run.py:132
+    render_h: int = 384  # constants.py:4
+    render_w: int = 384
+    distance_scale: float = 3.5  # run.py:133
+    focal_ndc: float = 1.0  # PyTorch3D PerspectiveCameras default focal
+    crop_size: int = 256  # constants.py:2 REND_SIZE
+    bbox_expansion: float = 0.3  # constants.py:3
+    view_chunk: int = 25
+    face_chunk: int = 512
+    window: int | None = None  # auto from geometry if None
+    grid: tuple[int, int, int] | None = None  # (azimuth, elevation, roll)
+
+
+def mesh_radius_center(verts: Array) -> tuple[Array, Array]:
+    """radius = max |coordinate| of the bbox; center = bbox center.
+
+    Matches render.py:128-130 (bbox.abs().max(), bbox.mean(2)).
+    """
+    vmin = verts.min(axis=0)
+    vmax = verts.max(axis=0)
+    radius = jnp.maximum(jnp.abs(vmin), jnp.abs(vmax)).max()
+    center = (vmin + vmax) / 2.0
+    return radius, center
+
+
+def prior_camera(cfg: PriorConfig) -> Array:
+    """Full-frame pixel intrinsics for prior renders (PyTorch3D NDC focal
+    -> pixels: f = focal_ndc * min(H, W) / 2, principal at image center)."""
+    f = cfg.focal_ndc * min(cfg.render_h, cfg.render_w) / 2.0
+    return jnp.array(
+        [[f, 0.0, cfg.render_w / 2.0], [0.0, f, cfg.render_h / 2.0], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+
+
+def compute_window(cfg: PriorConfig, radius: float, distance: float) -> int:
+    """Side of the central square window guaranteed to contain the
+    silhouette plus bbox padding/expansion, rounded up to a multiple of 8."""
+    f = cfg.focal_ndc * min(cfg.render_h, cfg.render_w) / 2.0
+    if distance <= radius:
+        return min(cfg.render_h, cfg.render_w)
+    pix_r = f * radius / math.sqrt(max(distance**2 - radius**2, 1e-9))
+    # +5 px bbox pad (run.py:37-40), x(1+expansion) square growth, margin.
+    half = (pix_r + 8.0) * (1.0 + cfg.bbox_expansion) + 8.0
+    side = int(math.ceil(2.0 * half / 8.0) * 8)
+    return min(side, min(cfg.render_h, cfg.render_w))
+
+
+def prior_view_rotations(key: Array, cfg: PriorConfig) -> Array:
+    """World-to-camera rotations for all prior views (N, 3, 3).
+
+    Random mode: uniform SO(3) (render.py:56-93 Avro'92).
+    Grid mode: azimuth x elevation look-at grid with in-plane rolls
+    (render.py:95-123,221-234).
+    """
+    if cfg.grid is None:
+        return G.random_rotations(key, cfg.num_views)
+    na, ne, nr = cfg.grid
+    base = G.spherical_camera_rotations(na, ne)  # (na*ne+2, 3, 3)
+    rolls = G.roll_matrices(nr)  # (nr, 3, 3)
+    # Roll in the camera frame: R' = R_roll @ R.
+    out = jnp.einsum("rij,njk->rnik", rolls, base).reshape(-1, 3, 3)
+    return out
+
+
+def _render_one_view(
+    verts: Array,
+    faces: Array,
+    face_uvs: Array,
+    texture: Array,
+    R_cv: Array,
+    t_cv: Array,
+    K_win: Array,
+    window: int,
+    face_chunk: int,
+):
+    """Render one prior view in the window; returns (rgba (S,S,4), zbuf)."""
+    verts_cam = verts @ R_cv.T + t_cv
+    vn = rz.compute_vertex_normals(verts_cam, faces)
+    vp = rz.project_perspective(verts_cam, K_win)
+    frag = rz.rasterize(vp, faces, (window, window), face_chunk=face_chunk)
+    img = phong_shade(frag, faces, verts_cam, vn, face_uvs, texture, default_lights())
+    return img, frag.zbuf
+
+
+def _crop_view(rgba: Array, crop_size: int, bbox_expansion: float):
+    """Mask-driven square crop of one rendered view.
+
+    Mirrors pose_initializtion.py:199-218: tight bbox (+5 px) on the alpha
+    mask, squared with expansion, ROI-cropped to crop_size; image pixels
+    outside the mask turn white.
+
+    Returns (crop_img (3,S,S), crop_mask (S,S) bool, box_xyxy (4,)).
+    """
+    mask = rgba[..., 3] > 0.5
+    box = bboxu.mask_tight_bbox_xyxy(mask, pad=5.0)
+    sq = bboxu.make_bbox_square(bboxu.bbox_xy_to_wh(box), bbox_expansion)
+    sq_xyxy = bboxu.bbox_wh_to_xy(sq)
+    img = rgba[..., :3].transpose(2, 0, 1)  # (3, S, S)
+    crop_img = roi_align(img, sq_xyxy, crop_size)
+    crop_mask = roi_align(mask[None].astype(jnp.float32), sq_xyxy, crop_size)[0] >= 0.5
+    crop_img = jnp.where(crop_mask[None], crop_img, 1.0)
+    return crop_img, crop_mask, sq_xyxy
+
+
+def _dino_feats_of_crops(dino_params, dino_cfg, crop_imgs: Array) -> Array:
+    """(B,3,S,S) crops -> L2-normalized DINO patch tokens (B, P, D).
+
+    Mirrors pose_initializtion.py:224-226 (bicubic to 518, extract,
+    F.normalize).
+    """
+    edge = dino_cfg.smaller_edge_size
+    imgs = resize_bicubic_align_corners(crop_imgs, edge, edge)
+    feats = dino_mod.extract_features(dino_params, imgs, dino_cfg)
+    return feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-6)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "dino_cfg", "window"),
+)
+def prior_scores_and_rotations(
+    dino_params: dict[str, Any],
+    dino_cfg: dino_mod.DinoConfig,
+    verts: Array,
+    faces: Array,
+    face_uvs: Array,
+    texture: Array,
+    view_rotations: Array,
+    gt_feats: Array,
+    cos_masks: Array,
+    cfg: PriorConfig,
+    window: int,
+) -> Array:
+    """Fused prior pipeline: returns the (F, N) masked-cosine score matrix.
+
+    Args:
+      view_rotations: (N, 3, 3) world-to-camera rotations.
+      gt_feats: (F, P, D) L2-normalized DINO features of the frame crops.
+      cos_masks: (F, P) {0,1} object masks at DINO token resolution
+        (pose_initializtion.py:290,294).
+      window: static render window side (compute_window).
+    """
+    radius, center = mesh_radius_center(verts)
+    distance = cfg.distance_scale * radius
+    K_full = prior_camera(cfg)
+    off_x = (cfg.render_w - window) / 2.0
+    off_y = (cfg.render_h - window) / 2.0
+    K_win = K_full - jnp.array(
+        [[0.0, 0.0, off_x], [0.0, 0.0, off_y], [0.0, 0.0, 0.0]], jnp.float32
+    )
+
+    n = view_rotations.shape[0]
+    chunk = cfg.view_chunk
+    pad = (-n) % chunk
+    Rs = jnp.concatenate([view_rotations, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))])
+    n_chunks = Rs.shape[0] // chunk
+    Rs = Rs.reshape(n_chunks, chunk, 3, 3)
+
+    cos_sum = cos_masks.sum(axis=1).clip(1e-6)  # (F,)
+
+    def score_chunk(R_chunk: Array) -> Array:
+        t = jnp.concatenate(
+            [jnp.zeros((chunk, 2)), jnp.full((chunk, 1), distance)], axis=1
+        ) - jnp.einsum("nij,j->ni", R_chunk, center)
+
+        def one(Rc, tc):
+            rgba, _ = _render_one_view(
+                verts, faces, face_uvs, texture, Rc, tc, K_win, window, cfg.face_chunk
+            )
+            crop_img, _, _ = _crop_view(rgba, cfg.crop_size, cfg.bbox_expansion)
+            return crop_img
+
+        crops = jax.vmap(one)(R_chunk, t)  # (C, 3, S, S)
+        feats = _dino_feats_of_crops(dino_params, dino_cfg, crops)  # (C, P, D)
+        sim = jnp.einsum("fpd,cpd->fcp", gt_feats, feats)  # cosine per token
+        masked = jnp.einsum("fcp,fp->fc", sim, cos_masks)
+        return masked / cos_sum[:, None]  # (F, C)
+
+    scores = jax.lax.map(score_chunk, Rs)  # (n_chunks, F, C)
+    scores = jnp.moveaxis(scores, 0, 1).reshape(gt_feats.shape[0], -1)[:, :n]
+    return scores
+
+
+def frame_gt_features(
+    dino_params, dino_cfg, crop_images: Array, target_masks: Array
+) -> tuple[Array, Array]:
+    """Per-frame DINO features + token-resolution cosine masks.
+
+    Mirrors pose_initializtion.py:286-294: crop image bicubic -> 518,
+    extract + normalize; mask>0 nearest -> 37^2.
+
+    Args:
+      crop_images: (F, 3, S, S) in [0, 1].
+      target_masks: (F, S, S) tri-valued {-1, 0, 1}.
+
+    Returns: (gt_feats (F, P, D), cos_masks (F, P)).
+    """
+    feats = _dino_feats_of_crops(dino_params, dino_cfg, crop_images)
+    fs = dino_cfg.feat_size
+    masks = resize_nearest((target_masks > 0).astype(jnp.float32), fs, fs)
+    return feats, masks.reshape(masks.shape[0], -1)

@@ -157,7 +157,11 @@ def test_soft_silhouette_gradcheck_small():
 
     def f(v):
         vp = RZ.project_perspective(v, K)
-        s = SIL.soft_silhouette(vp, faces, (size, size), sigma=0.5, face_chunk=1)
+        # squared mode: smooth everywhere (linear mode has a sqrt kink at
+        # d=0, where finite differences straddle the non-differentiability).
+        s = SIL.soft_silhouette(
+            vp, faces, (size, size), sigma=0.5, face_chunk=1, dist_mode="squared"
+        )
         return jnp.sum(s * s)
 
     g = jax.grad(f)(verts)
