@@ -1,0 +1,198 @@
+"""NeuS volume rendering: ray generation, hierarchical sampling, compositing.
+
+Designed from the published NeuS recipe (Wang et al., NeurIPS 2021 — see
+PAPERS.md); the reference's own reconstruction stage is unreleased
+(SURVEY.md §2.4).  All sampling is statically shaped: fixed coarse count,
+fixed importance rounds, sorts instead of data-dependent control flow —
+one jit for the whole render.
+
+Ray/space conventions: fields live in the OBJECT (canonical, normalized)
+frame; stage-1 poses give X_cam = X_obj @ R_row + T, so camera centers are
+``-T @ R_row^T`` and directions rotate by ``R_row^T``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .fields import SDFConfig, color_forward, inv_std, sdf_forward, sdf_grad
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    n_coarse: int = 64
+    n_importance: int = 64
+    up_sample_steps: int = 4  # importance split into this many rounds
+    near: float = 0.05
+    far: float = 4.0
+    bound: float = 1.0  # object sphere radius for ray-sphere clipping
+    perturb: bool = True
+    s_base: float = 64.0  # up-sample fixed inv-std ladder (64 * 2^k)
+
+
+class Rays(NamedTuple):
+    origins: Array  # (N, 3) object-frame
+    dirs: Array  # (N, 3) unit
+    near: Array  # (N,)
+    far: Array  # (N,)
+
+
+def rays_from_pose(
+    pixels_xy: Array, K: Array, R_row: Array, T: Array, bound: float = 1.0
+) -> Rays:
+    """Build object-frame rays through pixel centers.
+
+    Args:
+      pixels_xy: (N, 2) pixel coords (x, y).
+      K: (3, 3) intrinsics.
+      R_row, T: object->camera row-convention pose (X_cam = X_obj @ R + T).
+      bound: object bounding-sphere radius for near/far from ray-sphere hit.
+    """
+    x = (pixels_xy[:, 0] - K[0, 2]) / K[0, 0]
+    y = (pixels_xy[:, 1] - K[1, 2]) / K[1, 1]
+    d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    d_obj = d_cam @ R_row.T  # rotate camera->object (row conv inverse)
+    d_obj = d_obj / jnp.linalg.norm(d_obj, axis=-1, keepdims=True)
+    o_obj = jnp.broadcast_to(-T @ R_row.T, d_obj.shape)
+    # Ray-sphere intersection for tight near/far (sphere radius = bound).
+    b = jnp.sum(o_obj * d_obj, axis=-1)
+    c = jnp.sum(o_obj * o_obj, axis=-1) - bound * bound
+    disc = jnp.maximum(b * b - c, 0.0)
+    sq = jnp.sqrt(disc)
+    near = jnp.maximum(-b - sq, 1e-3)
+    far = jnp.maximum(-b + sq, near + 1e-3)
+    return Rays(o_obj, d_obj, near, far)
+
+
+def sample_pdf(bins: Array, weights: Array, n_samples: int, key: Array | None) -> Array:
+    """Inverse-CDF sampling of ``n_samples`` new points from a piecewise-
+    constant pdf over ``bins`` (NeRF sample_pdf, deterministic if key None).
+
+    Args:
+      bins: (..., B+1) bin edges.  weights: (..., B).
+    """
+    w = weights + 1e-5
+    pdf = w / jnp.sum(w, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (..., B+1)
+    if key is None:
+        u = (jnp.arange(n_samples) + 0.5) / n_samples
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
+    idx = jnp.searchsorted(cdf, u, side="right") if cdf.ndim == 1 else jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right")
+    )(cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, n_samples)).reshape(u.shape)
+    below = jnp.clip(idx - 1, 0, bins.shape[-1] - 1)
+    above = jnp.clip(idx, 0, bins.shape[-1] - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bin_b = jnp.take_along_axis(bins, below, axis=-1)
+    bin_a = jnp.take_along_axis(bins, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-5, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return bin_b + t * (bin_a - bin_b)
+
+
+def _neus_alpha(sdf: Array, dists: Array, s: Array) -> Array:
+    """NeuS alpha from consecutive section SDFs.
+
+    alpha_i = clip((Phi_s(f_i) - Phi_s(f_{i+1})) / Phi_s(f_i), 0, 1)
+    where Phi_s is the logistic CDF with inverse std s.
+
+    Args:
+      sdf: (..., M) SDF at section points; dists unused but kept for parity.
+    """
+    prev_cdf = jax.nn.sigmoid(s * sdf[..., :-1])
+    next_cdf = jax.nn.sigmoid(s * sdf[..., 1:])
+    alpha = (prev_cdf - next_cdf) / (prev_cdf + 1e-5)
+    return jnp.clip(alpha, 0.0, 1.0)
+
+
+def up_sample(
+    params, cfg: SDFConfig, rays: Rays, t: Array, n_new: int, s_fixed: float,
+    key: Array | None,
+) -> Array:
+    """One NeuS importance round: weights from a FIXED inv-std ladder, then
+    inverse-CDF sampling; returns merged, sorted t values."""
+    pts = rays.origins[:, None, :] + t[..., None] * rays.dirs[:, None, :]
+    sdf, _ = sdf_forward(params, pts, cfg)
+    alpha = _neus_alpha(sdf, None, s_fixed)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-7], axis=-1),
+        axis=-1,
+    )[..., :-1]
+    weights = alpha * trans
+    t_new = sample_pdf(t, weights, n_new, key)
+    return jnp.sort(jnp.concatenate([t, t_new], axis=-1), axis=-1)
+
+
+class RenderOut(NamedTuple):
+    rgb: Array  # (N, 3)
+    depth: Array  # (N,)
+    acc: Array  # (N,) weight sum (opacity)
+    normal: Array  # (N, 3) rendered object-frame normal
+    eikonal: Array  # () mean (|grad|-1)^2 over sampled points
+    inv_s: Array  # () current inv-std
+    points: Array  # (N, 3) expected surface point (for correspondence loss)
+
+
+def render_rays(
+    params: dict[str, Any],
+    sdf_cfg: SDFConfig,
+    rcfg: RenderConfig,
+    rays: Rays,
+    key: Array | None = None,
+) -> RenderOut:
+    """Full NeuS render of a ray batch (statically shaped, one jit)."""
+    n = rays.origins.shape[0]
+    k_strat, k_imp = (None, None) if key is None else tuple(jax.random.split(key))
+
+    # Stratified coarse samples in [near, far].
+    u = jnp.linspace(0.0, 1.0, rcfg.n_coarse)
+    t = rays.near[:, None] + (rays.far - rays.near)[:, None] * u[None, :]
+    if rcfg.perturb and k_strat is not None:
+        mids = 0.5 * (t[..., 1:] + t[..., :-1])
+        upper = jnp.concatenate([mids, t[..., -1:]], axis=-1)
+        lower = jnp.concatenate([t[..., :1], mids], axis=-1)
+        t = lower + (upper - lower) * jax.random.uniform(k_strat, t.shape)
+
+    # Hierarchical importance rounds with doubling fixed inv-std.
+    n_per = rcfg.n_importance // max(rcfg.up_sample_steps, 1)
+    for i in range(rcfg.up_sample_steps):
+        kk = None if k_imp is None else jax.random.fold_in(k_imp, i)
+        t = up_sample(params, sdf_cfg, rays, t, n_per, rcfg.s_base * (2**i), kk)
+
+    # Section compositing at the final t set.
+    pts = rays.origins[:, None, :] + t[..., None] * rays.dirs[:, None, :]
+    sdf, feat = sdf_forward(params, pts, sdf_cfg)
+    s = inv_std(params["variance"])
+    alpha = _neus_alpha(sdf, None, s)  # (N, M-1)
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-7], axis=-1),
+        axis=-1,
+    )[..., :-1]
+    weights = alpha * trans  # (N, M-1)
+
+    mid_t = 0.5 * (t[..., 1:] + t[..., :-1])
+    mid_pts = rays.origins[:, None, :] + mid_t[..., None] * rays.dirs[:, None, :]
+    grads = sdf_grad(params, mid_pts, sdf_cfg)  # (N, M-1, 3)
+    normals = grads / jnp.maximum(jnp.linalg.norm(grads, axis=-1, keepdims=True), 1e-8)
+    mid_feat = 0.5 * (feat[..., 1:, :] + feat[..., :-1, :])
+    dirs = jnp.broadcast_to(rays.dirs[:, None, :], mid_pts.shape)
+    rgb_samples = color_forward(
+        params["color"], mid_pts, dirs, normals, mid_feat, sdf_cfg
+    )
+
+    rgb = jnp.sum(weights[..., None] * rgb_samples, axis=-2)
+    depth = jnp.sum(weights * mid_t, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+    normal = jnp.sum(weights[..., None] * normals, axis=-2)
+    surf = rays.origins + depth[..., None] * rays.dirs
+    eik = jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
+    return RenderOut(rgb, depth, acc, normal, eik, s, surf)

@@ -1,0 +1,266 @@
+"""NeuS training loop: ray batching, losses, optax, orbax checkpointing.
+
+Capability target (SURVEY.md §2.4): supervision follows the reference's
+data convention (README.md:27-44) — RGB + SAM masks + StableNormal
+monocular normals + DKM dense correspondences — with poses consumed from
+the stage-1 npz files (run.py:171-179 schema).
+
+TPU design: rays from ALL frames are sampled per step (jit-safe gathers
+from stacked image tensors), the whole step (hierarchical render + losses
++ Adam) is one jit, and the ray axis is the shard axis for multi-chip
+(parallel/mesh.py 'rays').
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .fields import SDFConfig, init_field_params, sdf_only
+from .rendering import RenderConfig, Rays, rays_from_pose, render_rays
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_steps: int = 20000
+    batch_rays: int = 1024
+    lr: float = 5e-4
+    warmup: int = 500
+    lw_rgb: float = 1.0
+    lw_mask: float = 0.1
+    lw_eikonal: float = 0.1
+    lw_normal: float = 0.1
+    lw_corr: float = 0.0  # enabled when correspondences are provided
+    log_every: int = 500
+    checkpoint_every: int = 5000
+    seed: int = 0
+    # StableNormal maps are OpenGL-convention camera normals (x right,
+    # y up, z toward viewer); OpenCV cameras flip y/z.
+    normal_flip_yz: bool = True
+
+
+class ReconData(NamedTuple):
+    """Stacked per-frame supervision (host-prepared, device-resident)."""
+
+    images: Array  # (F, H, W, 3) float32 [0,1]
+    masks: Array  # (F, H, W) float32 {0,1} object masks
+    normals: Array | None  # (F, H, W, 3) camera-space unit normals or None
+    R_rows: Array  # (F, 3, 3) object->camera row-convention rotations
+    Ts: Array  # (F, 3)
+    K: Array  # (3, 3)
+
+
+class CorrData(NamedTuple):
+    """Dense correspondences (DKM convention: pixel matches between frames)."""
+
+    frame_i: Array  # (M,) int32
+    frame_j: Array  # (M,) int32
+    xy_i: Array  # (M, 2) pixel coords in frame_i
+    xy_j: Array  # (M, 2) pixel coords in frame_j
+
+
+def sample_ray_batch(key: Array, data: ReconData, n_rays: int):
+    """Uniformly sample (frame, pixel) pairs, biased to the mask's bbox."""
+    f, h, w = data.masks.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    fr = jax.random.randint(k1, (n_rays,), 0, f)
+    xi = jax.random.randint(k2, (n_rays,), 0, w)
+    yi = jax.random.randint(k3, (n_rays,), 0, h)
+    # Rays go through pixel centers (+0.5), matching the rasterizer and
+    # ROIAlign conventions used elsewhere.
+    xy = jnp.stack([xi + 0.5, yi + 0.5], axis=-1).astype(jnp.float32)
+    rgb = data.images[fr, yi, xi]
+    mask = data.masks[fr, yi, xi]
+    nrm = None if data.normals is None else data.normals[fr, yi, xi]
+    return fr, xy, rgb, mask, nrm
+
+
+def _rays_for(data: ReconData, fr: Array, xy: Array, bound: float) -> Rays:
+    def one(f_idx, p):
+        return rays_from_pose(
+            p[None], data.K, data.R_rows[f_idx], data.Ts[f_idx], bound
+        )
+
+    r = jax.vmap(one)(fr, xy)
+    return Rays(
+        r.origins[:, 0], r.dirs[:, 0], r.near[:, 0], r.far[:, 0]
+    )
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    bg_color: Array  # learnable background color
+    step: Array
+
+
+def make_train_step(
+    sdf_cfg: SDFConfig, rcfg: RenderConfig, tcfg: TrainConfig, opt
+):
+    """Build the jitted train step closure."""
+
+    def loss_fn(params, bg, key, data: ReconData, corr: CorrData | None):
+        k_pix, k_render, k_corr = jax.random.split(key, 3)
+        fr, xy, rgb_gt, mask_gt, nrm_gt = sample_ray_batch(k_pix, data, tcfg.batch_rays)
+        rays = _rays_for(data, fr, xy, rcfg.bound)
+        out = render_rays(params, sdf_cfg, rcfg, rays, k_render)
+
+        rgb_pred = out.rgb + (1.0 - out.acc[:, None]) * jax.nn.sigmoid(bg)
+        l_rgb = jnp.abs(rgb_pred - rgb_gt).mean()
+        acc = jnp.clip(out.acc, 1e-4, 1.0 - 1e-4)
+        l_mask = -(
+            mask_gt * jnp.log(acc) + (1.0 - mask_gt) * jnp.log(1.0 - acc)
+        ).mean()
+        loss = tcfg.lw_rgb * l_rgb + tcfg.lw_mask * l_mask + tcfg.lw_eikonal * out.eikonal
+        logs = {"rgb": l_rgb, "mask": l_mask, "eikonal": out.eikonal, "inv_s": out.inv_s}
+
+        if nrm_gt is not None and tcfg.lw_normal > 0:
+            n_cam = jnp.einsum("nj,njk->nk", out.normal, data.R_rows[fr])
+            if tcfg.normal_flip_yz:
+                nrm_ref = nrm_gt * jnp.array([1.0, -1.0, -1.0])
+            else:
+                nrm_ref = nrm_gt
+            cos = jnp.sum(
+                n_cam * nrm_ref, axis=-1
+            ) / (
+                jnp.linalg.norm(n_cam, axis=-1) * jnp.linalg.norm(nrm_ref, axis=-1)
+                + 1e-6
+            )
+            l_normal = ((1.0 - cos) * mask_gt).sum() / (mask_gt.sum() + 1e-6)
+            loss = loss + tcfg.lw_normal * l_normal
+            logs["normal"] = l_normal
+
+        if corr is not None and tcfg.lw_corr > 0:
+            m = corr.frame_i.shape[0]
+            take = min(256, m)
+            idx = jax.random.randint(k_corr, (take,), 0, m)
+            fi, fj = corr.frame_i[idx], corr.frame_j[idx]
+            rays_i = _rays_for(data, fi, corr.xy_i[idx], rcfg.bound)
+            out_i = render_rays(params, sdf_cfg, rcfg, rays_i, None)
+            # Project frame-i surface points into frame j.
+            pts_cam_j = (
+                jnp.einsum("nj,njk->nk", out_i.points, data.R_rows[fj]) + data.Ts[fj]
+            )
+            uv = jnp.einsum("ij,nj->ni", data.K, pts_cam_j)
+            uv = uv[:, :2] / jnp.maximum(uv[:, 2:], 1e-6)
+            scale = jnp.float32(max(data.masks.shape[1], data.masks.shape[2]))
+            resid = (uv - corr.xy_j[idx]) / scale
+            conf = jax.lax.stop_gradient((out_i.acc > 0.5).astype(jnp.float32))
+            per_ray = optax.huber_loss(resid, delta=0.01).mean(axis=-1)
+            l_corr = (per_ray * conf).sum() / (conf.sum() + 1e-6)
+            loss = loss + tcfg.lw_corr * l_corr
+            logs["corr"] = l_corr
+
+        psnr = -10.0 * jnp.log10(jnp.mean((rgb_pred - rgb_gt) ** 2) + 1e-8)
+        logs["psnr"] = psnr
+        logs["loss"] = loss
+        return loss, logs
+
+    @jax.jit
+    def train_step(state: TrainState, key, data: ReconData, corr):
+        (loss, logs), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            state.params, state.bg_color, key, data, corr
+        )
+        g_params, g_bg = grads
+        updates, opt_state = opt.update(g_params, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        bg = state.bg_color - 1e-2 * g_bg
+        return TrainState(params, opt_state, bg, state.step + 1), logs
+
+    return train_step
+
+
+def init_train_state(key: Array, sdf_cfg: SDFConfig, tcfg: TrainConfig, opt):
+    params = init_field_params(key, sdf_cfg)
+    return TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        bg_color=jnp.zeros((3,)),
+        step=jnp.asarray(0),
+    )
+
+
+def make_optimizer(tcfg: TrainConfig):
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, tcfg.lr, tcfg.warmup, max(tcfg.num_steps, tcfg.warmup + 1)
+    )
+    return optax.adam(sched)
+
+
+def train(
+    data: ReconData,
+    sdf_cfg: SDFConfig = SDFConfig(),
+    rcfg: RenderConfig = RenderConfig(),
+    tcfg: TrainConfig = TrainConfig(),
+    corr: CorrData | None = None,
+    board=None,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+):
+    """Full training loop; returns (state, history)."""
+    opt = make_optimizer(tcfg)
+    key = jax.random.PRNGKey(tcfg.seed)
+    state = init_train_state(key, sdf_cfg, tcfg, opt)
+    start = 0
+    if checkpoint_dir and resume:
+        restored = restore_checkpoint(checkpoint_dir, state)
+        if restored is not None:
+            state = restored
+            start = int(state.step)
+    step_fn = make_train_step(sdf_cfg, rcfg, tcfg, opt)
+    history: dict[str, list] = {}
+    for i in range(start, tcfg.num_steps):
+        state, logs = step_fn(state, jax.random.fold_in(key, i), data, corr)
+        if (i + 1) % tcfg.log_every == 0 or i == start:
+            logs = {k: float(v) for k, v in logs.items()}
+            for k, v in logs.items():
+                history.setdefault(k, []).append(v)
+                if board is not None:
+                    board.add_scalar(f"neus/{k}", v, i)
+            print(
+                f"[neus] step {i + 1}/{tcfg.num_steps} "
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(logs.items())),
+                flush=True,
+            )
+        if checkpoint_dir and (i + 1) % tcfg.checkpoint_every == 0:
+            save_checkpoint(checkpoint_dir, state)
+    if checkpoint_dir:
+        save_checkpoint(checkpoint_dir, state)
+    return state, history
+
+
+# ---------------------------------------------------------------------------
+# Orbax checkpointing (SURVEY.md §5: add checkpoints for the long NeuS stage)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(ckpt_dir: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{int(state.step)}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.tree.map(np.asarray, state), force=True)
+
+
+def restore_checkpoint(ckpt_dir: str, template: TrainState) -> TrainState | None:
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(d.split("_")[1])
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and d.split("_")[1].isdigit()
+    ]
+    if not steps:
+        return None
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{max(steps)}"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=jax.tree.map(np.asarray, template))
+    return jax.tree.map(jnp.asarray, TrainState(*restored))
