@@ -1,0 +1,263 @@
+"""Tile-binned rasterization: bin faces to pixel tiles, then rasterize each
+tile against only its faces (pure JAX; same API/semantics as the dense
+versions in ops/rasterize.py + ops/silhouette.py).
+
+Why: the dense rasterizers do O(pixels x faces) work — at 256^2 x 5,000
+faces that is 327M coverage tests per view, and the fwd+bwd soft
+silhouette dominated the fine-refine step (~78% measured on v5e, see
+BASELINE.md).  A typical face here covers a few pixels, so binning faces
+by their screen bbox into TxT pixel tiles (with a static per-tile face
+cap — XLA needs static shapes) reduces the work by roughly
+(image / object-extent)^2 x (tile utilization), ~5-20x in practice.
+
+The cap is a correctness knob: tiles overflowing ``max_faces_per_tile``
+silently drop the lowest-index faces; ``bin_faces`` returns the overflow
+count so callers/tests can assert headroom.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .rasterize import Fragments, _edge, barycentrics_at
+from .silhouette import _point_segment_dist2
+
+Array = jax.Array
+
+
+class FaceBins(NamedTuple):
+    indices: Array  # (T, max_faces) int32 face ids (padded with 0)
+    valid: Array  # (T, max_faces) bool
+    overflow: Array  # () int32 — total faces dropped across tiles
+
+
+def face_screen_bboxes(verts_pix: Array, faces: Array, znear: float = 1e-2):
+    """Per-face screen bbox (F, 4) xyxy + a per-face visibility mask.
+
+    Faces with ALL vertices behind znear are excluded (their projection is
+    meaningless); partially-behind faces pass through, matching the dense
+    rasterizer's per-pixel z test closely enough for this pipeline (the
+    object sits fully in front of the camera).
+    """
+    fv = verts_pix[faces]  # (F, 3, 3)
+    xy = fv[..., :2]
+    lo = xy.min(axis=1)
+    hi = xy.max(axis=1)
+    vis = (fv[..., 2] > znear).any(axis=1)
+    return jnp.concatenate([lo, hi], axis=-1), vis
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "tile", "max_faces", "margin")
+)
+def bin_faces(
+    verts_pix: Array,
+    faces: Array,
+    image_size: tuple[int, int],
+    tile: int = 16,
+    max_faces: int = 640,
+    margin: float = 2.0,
+) -> FaceBins:
+    """Assign faces to the tiles their (margin-expanded) bbox overlaps."""
+    h, w = image_size
+    th, tw = -(-h // tile), -(-w // tile)
+    bboxes, vis = face_screen_bboxes(verts_pix, faces)
+    f = faces.shape[0]
+    max_faces = min(max_faces, f)  # tiny meshes: cap can't exceed F
+
+    ty = jnp.arange(th) * tile
+    tx = jnp.arange(tw) * tile
+    # (T_y, T_x) tile rects vs (F,) face boxes -> (T, F) overlap.
+    x1 = bboxes[:, 0] - margin
+    y1 = bboxes[:, 1] - margin
+    x2 = bboxes[:, 2] + margin
+    y2 = bboxes[:, 3] + margin
+    ox = (x1[None, :] < (tx[:, None] + tile)) & (x2[None, :] > tx[:, None])  # (Tx, F)
+    oy = (y1[None, :] < (ty[:, None] + tile)) & (y2[None, :] > ty[:, None])  # (Ty, F)
+    overlap = (oy[:, None, :] & ox[None, :, :]).reshape(th * tw, f)
+    overlap = overlap & vis[None, :]
+
+    # Static-size compaction: the max_faces smallest face-ids among the
+    # overlapping ones (top_k on -(id) of overlapping faces).
+    ids = jnp.arange(f, dtype=jnp.int32)
+    keyed = jnp.where(overlap, -ids, -(10**9))  # top_k picks overlapping, low ids
+    top_vals, _ = jax.lax.top_k(keyed, max_faces)  # (T, max_faces)
+    valid = top_vals > -(10**9)
+    indices = jnp.where(valid, -top_vals, 0).astype(jnp.int32)
+    overflow = (overlap.sum(axis=1) - valid.sum(axis=1)).sum().astype(jnp.int32)
+    return FaceBins(indices, valid, overflow)
+
+
+def _tile_grid(h: int, w: int, tile: int):
+    th, tw = -(-h // tile), -(-w // tile)
+    iy = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    ix = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    py = jnp.broadcast_to(iy[:, None], (tile, tile)).reshape(-1)
+    px = jnp.broadcast_to(ix[None, :], (tile, tile)).reshape(-1)
+    oy = (jnp.arange(th * tw, dtype=jnp.float32) // tw) * tile
+    ox = (jnp.arange(th * tw, dtype=jnp.float32) % tw) * tile
+    return px, py, ox, oy, th, tw
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "tile", "max_faces", "tile_chunk", "dist_mode"),
+)
+def soft_silhouette_tiled(
+    verts_pix: Array,
+    faces: Array,
+    image_size: tuple[int, int],
+    sigma: float = 0.25,
+    tile: int = 16,
+    max_faces: int = 640,
+    tile_chunk: int = 64,
+    znear: float = 1e-2,
+    dist_mode: str = "linear",
+) -> Array:
+    """Tile-binned soft silhouette; semantics of ops.silhouette.soft_silhouette.
+
+    The soft edge needs faces within ~4*sigma of a pixel; the binning
+    margin covers that (margin 2 px >= the sigmoid's support for the
+    default sigma 0.25).
+    """
+    h, w = image_size
+    bins = bin_faces(verts_pix, faces, image_size, tile, max_faces, margin=8.0 * sigma + 1.0)
+    px, py, ox, oy, th, tw = _tile_grid(h, w, tile)
+    inv_sigma = 1.0 / sigma
+    fv_all = verts_pix[faces]  # (F, 3, 3)
+
+    def tiles_chunk(args):
+        idx, valid, ox_c, oy_c = args  # (C, M), (C, M), (C,), (C,)
+        fv = fv_all[idx]  # (C, M, 3, 3)
+        x0, y0, z0 = fv[..., 0, 0], fv[..., 0, 1], fv[..., 0, 2]
+        x1, y1, z1 = fv[..., 1, 0], fv[..., 1, 1], fv[..., 1, 2]
+        x2, y2, z2 = fv[..., 2, 0], fv[..., 2, 1], fv[..., 2, 2]
+        gx = ox_c[:, None] + px[None, :]  # (C, P)
+        gy = oy_c[:, None] + py[None, :]
+        pxx = gx[:, :, None]  # (C, P, 1)
+        pyy = gy[:, :, None]
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # (C, M)
+        inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)[:, None, :]
+        w0 = ((x2 - x1)[:, None, :] * (pyy - y1[:, None, :]) - (y2 - y1)[:, None, :] * (pxx - x1[:, None, :])) * inv_area
+        w1 = ((x0 - x2)[:, None, :] * (pyy - y2[:, None, :]) - (y0 - y2)[:, None, :] * (pxx - x2[:, None, :])) * inv_area
+        w2 = ((x1 - x0)[:, None, :] * (pyy - y0[:, None, :]) - (y1 - y0)[:, None, :] * (pxx - x0[:, None, :])) * inv_area
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (jnp.abs(area)[:, None, :] > 1e-12)
+        sign = jnp.where(inside, 1.0, -1.0)
+        d2 = jnp.minimum(
+            _point_segment_dist2(pxx, pyy, x0[:, None, :], y0[:, None, :], x1[:, None, :], y1[:, None, :]),
+            jnp.minimum(
+                _point_segment_dist2(pxx, pyy, x1[:, None, :], y1[:, None, :], x2[:, None, :], y2[:, None, :]),
+                _point_segment_dist2(pxx, pyy, x2[:, None, :], y2[:, None, :], x0[:, None, :], y0[:, None, :]),
+            ),
+        )
+        if dist_mode == "linear":
+            logit = sign * jnp.sqrt(jnp.maximum(d2, 1e-12)) * inv_sigma
+        else:
+            logit = sign * d2 * inv_sigma
+        visible = valid & ((z0 > znear) | (z1 > znear) | (z2 > znear))
+        mass = jnp.where(visible[:, None, :], jax.nn.softplus(logit), 0.0)
+        return mass.sum(axis=-1)  # (C, P)
+
+    n_tiles = th * tw
+    pad = (-n_tiles) % tile_chunk
+    def padit(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+    idx_p = padit(bins.indices)
+    val_p = padit(bins.valid)
+    ox_p = padit(ox)
+    oy_p = padit(oy)
+    nchunks = idx_p.shape[0] // tile_chunk
+    args = (
+        idx_p.reshape(nchunks, tile_chunk, -1),
+        val_p.reshape(nchunks, tile_chunk, -1),
+        ox_p.reshape(nchunks, tile_chunk),
+        oy_p.reshape(nchunks, tile_chunk),
+    )
+    acc = jax.lax.map(jax.checkpoint(tiles_chunk), args)  # (n, C, P)
+    acc = acc.reshape(n_tiles + pad, tile, tile)[:n_tiles]
+    sil = 1.0 - jnp.exp(-acc)
+    # De-tile: (th, tw, tile, tile) -> (H, W)
+    out = sil.reshape(th, tw, tile, tile).transpose(0, 2, 1, 3).reshape(th * tile, tw * tile)
+    return out[:h, :w]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "tile", "max_faces", "tile_chunk"),
+)
+def rasterize_tiled(
+    verts_pix: Array,
+    faces: Array,
+    image_size: tuple[int, int],
+    tile: int = 16,
+    max_faces: int = 640,
+    tile_chunk: int = 64,
+    znear: float = 1e-2,
+) -> Fragments:
+    """Tile-binned hard z-buffer raster; semantics of ops.rasterize.rasterize."""
+    h, w = image_size
+    bins = bin_faces(verts_pix, faces, image_size, tile, max_faces, margin=0.0)
+    px, py, ox, oy, th, tw = _tile_grid(h, w, tile)
+    fv_all = verts_pix[faces]
+
+    def tiles_chunk(args):
+        idx, valid, ox_c, oy_c = args
+        fv = fv_all[idx]  # (C, M, 3, 3)
+        x0, y0, z0 = fv[..., 0, 0], fv[..., 0, 1], fv[..., 0, 2]
+        x1, y1, z1 = fv[..., 1, 0], fv[..., 1, 1], fv[..., 1, 2]
+        x2, y2, z2 = fv[..., 2, 0], fv[..., 2, 1], fv[..., 2, 2]
+        gx = (ox_c[:, None] + px[None, :])[:, :, None]
+        gy = (oy_c[:, None] + py[None, :])[:, :, None]
+        area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+        inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)[:, None, :]
+        e12 = _edge(x1[:, None, :], y1[:, None, :], x2[:, None, :], y2[:, None, :], gx, gy)
+        e20 = _edge(x2[:, None, :], y2[:, None, :], x0[:, None, :], y0[:, None, :], gx, gy)
+        e01 = _edge(x0[:, None, :], y0[:, None, :], x1[:, None, :], y1[:, None, :], gx, gy)
+        w0 = e12 * inv_area
+        w1 = e20 * inv_area
+        w2 = e01 * inv_area
+        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (jnp.abs(area)[:, None, :] > 1e-12)
+        z = w0 * z0[:, None, :] + w1 * z1[:, None, :] + w2 * z2[:, None, :]
+        ok = inside & (z > znear) & valid[:, None, :]
+        z = jnp.where(ok, z, jnp.inf)
+        j = jnp.argmin(z, axis=-1)  # (C, P)
+        zmin = jnp.take_along_axis(z, j[..., None], axis=-1)[..., 0]
+        fid = jnp.take_along_axis(idx, j, axis=-1)
+        fid = jnp.where(jnp.isfinite(zmin), fid, -1)
+        return zmin, fid
+
+    n_tiles = th * tw
+    pad = (-n_tiles) % tile_chunk
+    def padit(x):
+        return jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]) if pad else x
+    nchunks = (n_tiles + pad) // tile_chunk
+    args = (
+        padit(bins.indices).reshape(nchunks, tile_chunk, -1),
+        padit(bins.valid).reshape(nchunks, tile_chunk, -1),
+        padit(ox).reshape(nchunks, tile_chunk),
+        padit(oy).reshape(nchunks, tile_chunk),
+    )
+    zmin, fid = jax.lax.map(tiles_chunk, args)
+    zmin = zmin.reshape(-1, tile, tile)[:n_tiles]
+    fid = fid.reshape(-1, tile, tile)[:n_tiles]
+
+    def detile(x):
+        return (
+            x.reshape(th, tw, tile, tile).transpose(0, 2, 1, 3)
+            .reshape(th * tile, tw * tile)[:h, :w]
+        )
+
+    zbuf = detile(zmin)
+    pix_to_face = detile(fid).astype(jnp.int32)
+    hit = pix_to_face >= 0
+    gx_full = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
+    gy_full = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
+    bary = barycentrics_at(verts_pix, faces, pix_to_face.reshape(-1), gx_full, gy_full)
+    return Fragments(
+        pix_to_face=pix_to_face,
+        bary=jnp.where(hit.reshape(-1, 1), bary, 0.0).reshape(h, w, 3),
+        zbuf=jnp.where(hit, zbuf, -1.0),
+    )

@@ -43,6 +43,9 @@ class JointConfig:
     sigma: float = 0.25
     face_chunk: int = 512
     optimize_object_scale: bool = False  # jointopt.py:41-48 (off: run.py:159)
+    use_tiled: bool = True  # tile-binned rasterization (see tracker/refine.py)
+    tile_size: int = 16
+    max_faces_per_tile: int = 640
 
 
 class JointResult(NamedTuple):
@@ -65,8 +68,19 @@ def _sil_and_smooth(
         vp = rz.project_perspective(v, K)
         # Pure-soft silhouette as the objective (see tracker/refine.py);
         # hard mask only for the logged IoU metric.
-        soft = soft_silhouette(vp, faces, (s, s), sigma=cfg.sigma, face_chunk=cfg.face_chunk)
-        frag = rz.rasterize(vp, faces, (s, s), face_chunk=cfg.face_chunk)
+        if cfg.use_tiled:
+            from ..ops.rasterize_tiled import rasterize_tiled, soft_silhouette_tiled
+
+            soft = soft_silhouette_tiled(
+                vp, faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
+                max_faces=cfg.max_faces_per_tile,
+            )
+            frag = rasterize_tiled(
+                vp, faces, (s, s), tile=cfg.tile_size, max_faces=cfg.max_faces_per_tile
+            )
+        else:
+            soft = soft_silhouette(vp, faces, (s, s), sigma=cfg.sigma, face_chunk=cfg.face_chunk)
+            frag = rz.rasterize(vp, faces, (s, s), face_chunk=cfg.face_chunk)
         hard = (frag.pix_to_face >= 0).astype(jnp.float32)
         return soft, hard
 

@@ -1,0 +1,111 @@
+"""Tiled rasterizers must match the dense reference implementations.
+
+Scales mirror production: the 256^2 crop with the object filling ~70% of
+the frame (the tracker's REND_SIZE working regime).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import dynhor_tpu.ops.rasterize as RZ
+import dynhor_tpu.ops.rasterize_tiled as RT
+import dynhor_tpu.ops.silhouette as SIL
+from dynhor_tpu.utils import geometry as G
+from dynhor_tpu.utils.objio import load_obj
+
+SHOES = os.path.join(
+    os.path.dirname(__file__), "..", "assets", "shoes",
+    "1229a2e6e97e_A_basketball_shoes_.obj",
+)
+SIZE = 256
+
+
+def _shoes_view(size=SIZE, seed=0, dist=2.0):
+    """Project the shoes through the SAME crop-K path the tracker uses:
+    full-image projection -> tight bbox -> square(1.3x) -> K_roi, so the
+    object fills ~70-80% of the size^2 crop (the production regime the
+    tiled rasterizer's per-tile cap is dimensioned for)."""
+    from dynhor_tpu.utils import bbox as BB
+    from dynhor_tpu.utils import camera as CAM
+
+    mesh = load_obj(SHOES)
+    v = G.center_and_normalize_verts(jnp.asarray(mesh.verts))
+    R = G.random_rotations(jax.random.PRNGKey(seed), 1)[0]
+    vc = v @ R.T + jnp.array([0.0, 0.0, dist])
+    K_full = jnp.array([[576.0, 0, 320], [0, 576.0, 240], [0, 0, 1.0]])
+    uv = CAM.batch_proj2d(vc[None], K_full[None])[0]
+    box = jnp.concatenate([uv.min(0) - 5.0, uv.max(0) + 5.0])
+    sq = BB.bbox_wh_to_xy(BB.make_bbox_square(BB.bbox_xy_to_wh(box), 0.3))
+    K_roi = CAM.get_K_crop_resize(K_full[None], sq[None], size)[0]
+    vp = RZ.project_perspective(vc, K_roi)
+    return vp, jnp.asarray(mesh.faces)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_tiled_hard_raster_matches_dense(seed):
+    vp, faces = _shoes_view(seed=seed)
+    dense = RZ.rasterize(vp, faces, (SIZE, SIZE), face_chunk=512)
+    tiled = RT.rasterize_tiled(vp, faces, (SIZE, SIZE))
+    np.testing.assert_array_equal(
+        np.asarray(tiled.pix_to_face >= 0), np.asarray(dense.pix_to_face >= 0)
+    )
+    hit = np.asarray(dense.pix_to_face >= 0)
+    np.testing.assert_allclose(
+        np.asarray(tiled.zbuf)[hit], np.asarray(dense.zbuf)[hit], atol=1e-5
+    )
+    same_face = np.asarray(tiled.pix_to_face == dense.pix_to_face)[hit]
+    assert same_face.mean() > 0.999  # ties on exact z only
+    np.testing.assert_allclose(
+        np.asarray(tiled.bary)[hit], np.asarray(dense.bary)[hit], atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("seed", list(range(6)))
+def test_tiled_binning_no_overflow_at_production_scale(seed):
+    vp, faces = _shoes_view(seed=seed)
+    bins = RT.bin_faces(vp, faces, (SIZE, SIZE), margin=3.0)
+    assert int(bins.overflow) == 0, f"seed {seed}: per-tile cap too small"
+
+
+def test_tiled_soft_silhouette_matches_dense():
+    vp, faces = _shoes_view(seed=1)
+    dense = SIL.soft_silhouette(vp, faces, (SIZE, SIZE), sigma=0.25, face_chunk=512)
+    tiled = RT.soft_silhouette_tiled(vp, faces, (SIZE, SIZE), sigma=0.25)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense), atol=2e-3)
+
+
+def test_tiled_soft_silhouette_gradients_match_dense():
+    vp, faces = _shoes_view(size=128, seed=2, dist=1.7)
+
+    def loss_dense(v):
+        return jnp.sum(SIL.soft_silhouette(v, faces, (128, 128), face_chunk=512) ** 2)
+
+    def loss_tiled(v):
+        return jnp.sum(
+            RT.soft_silhouette_tiled(v, faces, (128, 128), max_faces=1536) ** 2
+        )
+
+    gd = np.asarray(jax.grad(loss_dense)(vp))
+    gt = np.asarray(jax.grad(loss_tiled)(vp))
+    np.testing.assert_allclose(gt, gd, atol=5e-3, rtol=1e-2)
+
+
+def test_tiled_nonsquare_and_edge_sizes():
+    # Image size not a multiple of the tile.
+    size_h, size_w = 200, 232
+    vp, faces = _shoes_view(size=232, seed=4)
+    dense = RZ.rasterize(vp, faces, (size_h, size_w), face_chunk=256)
+    tiled = RT.rasterize_tiled(vp, faces, (size_h, size_w), max_faces=448)
+    np.testing.assert_array_equal(
+        np.asarray(tiled.pix_to_face >= 0), np.asarray(dense.pix_to_face >= 0)
+    )
+
+
+def test_overflow_counter_reports_drops():
+    # Tiny cap + tiny object (all faces in few tiles) forces overflow.
+    vp, faces = _shoes_view(size=64, seed=0, dist=3.0)
+    bins = RT.bin_faces(vp, faces, (64, 64), tile=64, max_faces=16, margin=0.0)
+    assert int(bins.overflow) > 0
