@@ -21,7 +21,7 @@ import sys
 import time
 
 REFERENCE_FRAMES_PER_SEC = 0.10  # documented estimate, see BASELINE.md
-FRAMES = 4
+FRAMES = 8
 ITERS = 10  # timed steps; frames/sec extrapolated to the 100-step refine
 CROP = 256
 REFINE_STEPS_FULL = 100

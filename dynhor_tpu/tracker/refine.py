@@ -31,6 +31,7 @@ import optax
 
 from ..models import dino as dino_mod
 from ..ops import rasterize as rz
+from ..ops.rasterize_tiled import rasterize_tiled, soft_silhouette_tiled
 from ..ops.resize import resize_bicubic_align_corners, resize_nearest
 from ..ops.shading import fine_lights, phong_shade
 from ..ops.silhouette import soft_silhouette
@@ -60,6 +61,10 @@ class RefineConfig:
     use_tiled: bool = True
     tile_size: int = 16
     max_faces_per_tile: int = 640
+    # Soft-silhouette implementation: "auto" = Pallas fused kernel on TPU
+    # (ops/silhouette_pallas.py, ~4x over the XLA tiled path), XLA tiled
+    # elsewhere; or force "pallas" | "tiled" | "dense".
+    silhouette_impl: str = "auto"
 
 
 class MeshArrays(NamedTuple):
@@ -108,8 +113,6 @@ def _frame_loss(
 
     vp = rz.project_perspective(verts_t, K_roi)
     if cfg.use_tiled:
-        from ..ops.rasterize_tiled import rasterize_tiled, soft_silhouette_tiled
-
         frag = rasterize_tiled(
             vp, mesh.faces, (s, s), tile=cfg.tile_size,
             max_faces=cfg.max_faces_per_tile,
@@ -122,7 +125,21 @@ def _frame_loss(
     # approximates true antialiased coverage, so the soft optimum coincides
     # with the reference's hard-mask optimum to sub-pixel accuracy.  The
     # reported IoU metric uses the hard mask (reference loss value parity).
-    if cfg.use_tiled:
+    impl = cfg.silhouette_impl
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if cfg.use_tiled and jax.default_backend() == "tpu"
+            else ("tiled" if cfg.use_tiled else "dense")
+        )
+    if impl == "pallas":
+        from ..ops.silhouette_pallas import soft_silhouette_pallas
+
+        soft = soft_silhouette_pallas(
+            vp, mesh.faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
+            max_faces=cfg.max_faces_per_tile,
+        )
+    elif impl == "tiled":
         soft = soft_silhouette_tiled(
             vp, mesh.faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
             max_faces=cfg.max_faces_per_tile,

@@ -109,3 +109,17 @@ def test_overflow_counter_reports_drops():
     vp, faces = _shoes_view(size=64, seed=0, dist=3.0)
     bins = RT.bin_faces(vp, faces, (64, 64), tile=64, max_faces=16, margin=0.0)
     assert int(bins.overflow) > 0
+
+
+def test_pallas_silhouette_matches_tiled_interpret():
+    # Interpret mode on CPU; the real-TPU equivalence was verified on
+    # hardware (grad max diff 2e-6) — this guards the kernel math.
+    from dynhor_tpu.ops.silhouette_pallas import soft_silhouette_pallas
+
+    vp, faces = _shoes_view(seed=1)
+    ref = RT.soft_silhouette_tiled(vp, faces, (SIZE, SIZE))
+    got = soft_silhouette_pallas(vp, faces, (SIZE, SIZE))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g1 = jax.grad(lambda v: (RT.soft_silhouette_tiled(v, faces, (SIZE, SIZE)) ** 2).sum())(vp)
+    g2 = jax.grad(lambda v: (soft_silhouette_pallas(v, faces, (SIZE, SIZE)) ** 2).sum())(vp)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
