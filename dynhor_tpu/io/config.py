@@ -46,6 +46,13 @@ DEFAULTS: dict[str, Any] = {
         "focal_factor": 1.2,  # run.py:121
         "offscreen_weight": 1.0e5,  # pose_initializtion.py:154,185
         "parallel_refine": True,  # vmapped pipeline; False = sequential parity
+        "outlier_voting": {
+            # DKM-correspondence trajectory voting (tracker/outliers.py):
+            # runs iff <dataroot>/correspondence_infos exists and enabled.
+            "enabled": True,
+            "threshold_px": 8.0,
+            "rejoint": True,  # re-run a short joint opt after pose repair
+        },
         "sigma": 0.25,  # soft-silhouette edge band (ours)
         "face_chunk": 512,
         "frame_chunk": None,  # optional microbatching of frames

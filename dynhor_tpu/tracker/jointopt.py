@@ -46,6 +46,7 @@ class JointConfig:
     use_tiled: bool = True  # tile-binned rasterization (see tracker/refine.py)
     tile_size: int = 16
     max_faces_per_tile: int = 640
+    silhouette_impl: str = "auto"  # "auto" | "pallas" | "tiled" | "dense"
 
 
 class JointResult(NamedTuple):
@@ -68,18 +69,36 @@ def _sil_and_smooth(
         vp = rz.project_perspective(v, K)
         # Pure-soft silhouette as the objective (see tracker/refine.py);
         # hard mask only for the logged IoU metric.
-        if cfg.use_tiled:
-            from ..ops.rasterize_tiled import rasterize_tiled, soft_silhouette_tiled
+        impl = cfg.silhouette_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if cfg.use_tiled and jax.default_backend() == "tpu"
+                else ("tiled" if cfg.use_tiled else "dense")
+            )
+        if impl == "pallas":
+            from ..ops.silhouette_pallas import soft_silhouette_pallas
+
+            soft = soft_silhouette_pallas(
+                vp, faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
+                max_faces=cfg.max_faces_per_tile,
+            )
+        elif impl == "tiled":
+            from ..ops.rasterize_tiled import soft_silhouette_tiled
 
             soft = soft_silhouette_tiled(
                 vp, faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
                 max_faces=cfg.max_faces_per_tile,
             )
+        else:
+            soft = soft_silhouette(vp, faces, (s, s), sigma=cfg.sigma, face_chunk=cfg.face_chunk)
+        if cfg.use_tiled:
+            from ..ops.rasterize_tiled import rasterize_tiled
+
             frag = rasterize_tiled(
                 vp, faces, (s, s), tile=cfg.tile_size, max_faces=cfg.max_faces_per_tile
             )
         else:
-            soft = soft_silhouette(vp, faces, (s, s), sigma=cfg.sigma, face_chunk=cfg.face_chunk)
             frag = rz.rasterize(vp, faces, (s, s), face_chunk=cfg.face_chunk)
         hard = (frag.pix_to_face >= 0).astype(jnp.float32)
         return soft, hard

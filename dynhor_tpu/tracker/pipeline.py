@@ -340,8 +340,74 @@ def run_from_config(config: dict[str, Any], exps_root: str = "exps") -> TrackRes
     board = Board(exp_dir)
 
     result = track_sequence(config, seq, ann, mesh, board=board)
+    result = maybe_vote_outliers(config, seq, ann, mesh, result, board)
     save_pose_npzs(
         exp_dir, seq.frame_ids, result.rotations_row, result.translations, result.K
     )
     board.close()
     return result
+
+
+def maybe_vote_outliers(
+    config: dict[str, Any],
+    seq: SequenceData,
+    ann: FrameAnnotations,
+    mesh: MeshData,
+    result: TrackResult,
+    board: Board | None = None,
+) -> TrackResult:
+    """DKM-correspondence outlier voting + pose repair (BASELINE config #2).
+
+    Runs when <dataroot>/correspondence_infos exists (README.md:43
+    convention) and system.outlier_voting.enabled.
+    """
+    ov = config["system"].get("outlier_voting", {})
+    if not ov.get("enabled", True):
+        return result
+    from ..neus.data import load_correspondences
+    from . import outliers as OV
+
+    corr = load_correspondences(config["data_info"]["dataroot"], seq.frame_ids)
+    if corr is None:
+        return result
+    h, w = seq.obj_masks.shape[1:]
+    report = OV.vote_outliers(
+        jnp.asarray(mesh.verts), jnp.asarray(mesh.faces),
+        result.rotations_row, result.translations[:, 0, :], result.K, corr,
+        (h, w), threshold_px=float(ov.get("threshold_px", 8.0)),
+    )
+    print(
+        f"outlier voting: scores px={np.round(report.frame_scores, 2)} "
+        f"outliers={np.nonzero(report.outliers)[0].tolist()}"
+    )
+    if board is not None:
+        for i, s in enumerate(report.frame_scores):
+            if np.isfinite(s):
+                board.add_scalar("outlier_score_px", float(s), i)
+    if not report.outliers.any():
+        return result
+    R_fix, T_fix = OV.interpolate_poses(
+        result.rotations_row, result.translations[:, 0, :], report.outliers
+    )
+    if ov.get("rejoint", True):
+        sysc = config["system"]
+        joint_cfg = J.JointConfig(
+            num_iterations=max(int(sysc["joint_num_iterations"]) // 2, 1),
+            lr=float(sysc["joint_lr"]),
+            lw_sil_obj=float(sysc["loss"]["lw_sil_obj"]),
+            lw_smooth_obj=float(sysc["loss"]["lw_smooth_obj"]),
+            crop_size=int(sysc["crop_size"]),
+            sigma=float(sysc["sigma"]),
+            face_chunk=int(sysc["face_chunk"]),
+        )
+        jres = J.joint_optimize(
+            jnp.asarray(mesh.verts), jnp.asarray(mesh.faces),
+            jnp.asarray(R_fix), jnp.asarray(T_fix), jnp.asarray(result.K_rois),
+            jnp.asarray(ann.target_masks), joint_cfg,
+        )
+        R_fix = np.asarray(G.rot6d_to_matrix(jres.rot6d))
+        T_fix = np.asarray(jres.translations)[:, 0, :]
+    return result._replace(
+        rotations_row=np.asarray(R_fix),
+        translations=np.asarray(T_fix).reshape(-1, 1, 3),
+    )

@@ -1,0 +1,127 @@
+"""Multi-chip sharding tests on the simulated 8-device CPU mesh
+(SURVEY.md §4: XLA_FLAGS=--xla_force_host_platform_device_count=8)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dynhor_tpu.parallel import mesh as M
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_and_shard_leading():
+    mesh = M.make_mesh(8, "frames")
+    x = jnp.arange(16 * 3).reshape(16, 3).astype(jnp.float32)
+    tree = {"a": x, "b": jnp.ones(()), "c": jnp.ones((5, 2))}  # 5 not divisible
+    sharded = M.shard_leading(tree, mesh)
+    assert sharded["a"].sharding.spec == P("frames", None)
+    assert sharded["c"].sharding.spec == P(None, None)  # replicated
+    np.testing.assert_allclose(np.asarray(sharded["a"]), np.asarray(x))
+
+
+def test_sharded_refine_matches_single_device():
+    """The vmapped refine step must produce identical results whether the
+    frame axis is sharded over 8 devices or lives on one."""
+    import __graft_entry__ as gre
+
+    mesh_arrays, targets, rot, trans, dparams, dcfg, cfg = gre._tiny_setup(
+        crop_size=32, frames=8, dino_edge=28
+    )
+    import dataclasses
+
+    from dynhor_tpu.tracker import refine as RF
+
+    cfg3 = dataclasses.replace(cfg, num_iterations=3)
+    res_single = RF.refine_poses(mesh_arrays, targets, rot, trans, dparams, dcfg, cfg3)
+
+    mesh = M.make_mesh(8, "frames")
+    targets_sh = RF.FrameTargets(*M.shard_leading(tuple(targets), mesh))
+    rot_sh = M.shard_leading(rot, mesh)
+    trans_sh = M.shard_leading(trans, mesh)
+    dparams_r = M.replicate(dparams, mesh)
+    mesh_r = RF.MeshArrays(*M.replicate(tuple(mesh_arrays), mesh))
+    res_sharded = RF.refine_poses(
+        mesh_r, targets_sh, rot_sh, trans_sh, dparams_r, dcfg, cfg3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.rot6d), np.asarray(res_single.rot6d), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.translations), np.asarray(res_single.translations),
+        atol=2e-5,
+    )
+
+
+def test_sharded_jointopt_smoothness_halo():
+    """Joint opt couples adjacent frames (smoothness); sharding the frame
+    axis must not change the result (XLA inserts the halo exchange)."""
+    import dataclasses
+
+    import __graft_entry__ as gre
+    from dynhor_tpu.tracker import jointopt as J
+    from dynhor_tpu.utils import geometry as G
+
+    mesh_arrays, targets, rot, trans, _, _, _ = gre._tiny_setup(
+        crop_size=32, frames=8, dino_edge=28
+    )
+    cfg = J.JointConfig(num_iterations=4, crop_size=32, face_chunk=12, lw_smooth_obj=5.0)
+    res_single = J.joint_optimize(
+        mesh_arrays.verts, mesh_arrays.faces, rot, trans, targets.K_rois,
+        targets.target_masks, cfg,
+    )
+    mesh = M.make_mesh(8, "frames")
+    res_sharded = J.joint_optimize(
+        *M.replicate((mesh_arrays.verts, mesh_arrays.faces), mesh),
+        M.shard_leading(rot, mesh),
+        M.shard_leading(trans, mesh),
+        M.shard_leading(targets.K_rois, mesh),
+        M.shard_leading(targets.target_masks, mesh),
+        cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_sharded.rot6d), np.asarray(res_single.rot6d), atol=2e-5
+    )
+    for k in res_single.history:
+        np.testing.assert_allclose(
+            np.asarray(res_sharded.history[k]), np.asarray(res_single.history[k]),
+            atol=1e-4,
+        )
+
+
+def test_seq_frame_mesh_2d():
+    mesh = M.make_seq_frame_mesh(2)
+    assert mesh.shape == {"seq": 2, "frames": 4}
+
+
+def test_sharded_neus_render_rays():
+    """NeuS ray batches shard over devices (the 'rays' axis)."""
+    from dynhor_tpu.neus import fields as F
+    from dynhor_tpu.neus import rendering as R
+
+    cfg = F.SDFConfig(
+        encoder="pe", pe_freqs=2, hidden=32, depth=2, skip_layer=1, feat_dim=8,
+        color_hidden=32, color_depth=2,
+    )
+    params = F.init_field_params(jax.random.PRNGKey(0), cfg)
+    K = jnp.array([[50.0, 0, 25], [0, 50.0, 25], [0, 0, 1]])
+    pix = jnp.stack(
+        [jnp.linspace(5, 45, 64), jnp.linspace(5, 45, 64)], axis=-1
+    )
+    rays = R.rays_from_pose(pix, K, jnp.eye(3), jnp.array([0.0, 0.0, 2.0]), 1.0)
+    rcfg = R.RenderConfig(n_coarse=16, n_importance=8, up_sample_steps=2, perturb=False)
+    out_single = R.render_rays(params, cfg, rcfg, rays)
+
+    mesh = M.make_mesh(8, "rays")
+    rays_sh = R.Rays(*M.shard_leading(tuple(rays), mesh, "rays"))
+    params_r = M.replicate(params, mesh)
+    out_sharded = R.render_rays(params_r, cfg, rcfg, rays_sh)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.rgb), np.asarray(out_single.rgb), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.acc), np.asarray(out_single.acc), atol=1e-5
+    )
