@@ -147,11 +147,13 @@ def marching_tetrahedra(
 
 
 def extract_mesh_from_field(
-    sdf_eval, resolution: int = 128, bound: float = 1.0, batch: int = 65536
+    sdf_eval, resolution: int = 128, bound: float = 1.0, batch: int = 65536,
+    use_native: bool = True,
 ):
     """Evaluate ``sdf_eval(points (N,3)) -> (N,)`` on a grid and extract.
 
     sdf_eval should be a jitted callable (host-callable on device arrays).
+    Uses the C++ extraction engine (dynhor_tpu/native) when available.
     """
     xs = np.linspace(-bound, bound, resolution, dtype=np.float32)
     grid = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1).reshape(-1, 3)
@@ -160,6 +162,14 @@ def extract_mesh_from_field(
         out[i : i + batch] = np.asarray(sdf_eval(grid[i : i + batch]))
     sdf_grid = out.reshape(resolution, resolution, resolution)
     spacing = 2.0 * bound / (resolution - 1)
+    if use_native:
+        from ..native import marching_tetrahedra_native
+
+        res = marching_tetrahedra_native(
+            sdf_grid, origin=(-bound, -bound, -bound), spacing=spacing
+        )
+        if res is not None:
+            return res
     return marching_tetrahedra(sdf_grid, origin=(-bound, -bound, -bound), spacing=spacing)
 
 
