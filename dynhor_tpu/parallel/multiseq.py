@@ -1,0 +1,139 @@
+"""Multi-sequence batched tracking: N videos' frames pooled into ONE
+vmapped refine, sharded across chips (BASELINE.json config #5: "4 videos
+pmapped across chips").
+
+Different sequences track different objects, so the per-frame loss carries
+ITS OWN mesh: meshes are padded to common (V_max, F_max) — padding verts
+repeat vertex 0 and padding faces are degenerate (0,0,0), which both
+rasterizers ignore (zero screen area) — then the whole (seq*frames) pool
+runs as one batch with the frame axis sharded (parallel/mesh.py).  The
+joint temporal stage couples frames only within a sequence, so it runs
+per sequence afterwards (cheap relative to the refine).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import dino as dino_mod
+from ..tracker import refine as RF
+from ..utils import geometry as G
+from ..utils.objio import MeshData
+
+Array = jax.Array
+
+
+def pad_mesh(mesh: MeshData, v_max: int, f_max: int) -> MeshData:
+    """Pad to (v_max, f_max): repeated vertex 0 / degenerate faces."""
+    v = np.asarray(mesh.verts)
+    f = np.asarray(mesh.faces)
+    uv = np.asarray(mesh.face_uvs)
+    v_pad = np.concatenate([v, np.tile(v[:1], (v_max - len(v), 1))]) if len(v) < v_max else v
+    f_pad = np.concatenate([f, np.zeros((f_max - len(f), 3), f.dtype)]) if len(f) < f_max else f
+    uv_pad = (
+        np.concatenate([uv, np.zeros((f_max - len(uv), 3, 2), uv.dtype)])
+        if len(uv) < f_max else uv
+    )
+    return dataclasses.replace(mesh, verts=v_pad, faces=f_pad, face_uvs=uv_pad)
+
+
+class MultiSeqBatch(NamedTuple):
+    """Frame pool across sequences (leading axis = pooled frames)."""
+
+    mesh_verts: Array  # (N, V, 3) per-frame canonical verts
+    mesh_faces: Array  # (N, F, 3)
+    mesh_uvs: Array  # (N, F, 3, 2)
+    mesh_tex: Array  # (N, Ht, Wt, 3) (textures padded to common size)
+    targets: RF.FrameTargets  # leading axis N
+    seq_id: np.ndarray  # (N,) which sequence each frame belongs to
+
+
+def build_batch(
+    meshes: list[MeshData],
+    per_seq_targets: list[RF.FrameTargets],
+) -> MultiSeqBatch:
+    """Pool frames of several sequences, padding meshes/textures."""
+    v_max = max(m.verts.shape[0] for m in meshes)
+    f_max = max(m.faces.shape[0] for m in meshes)
+    ht = max(m.texture.shape[0] for m in meshes)
+    wt = max(m.texture.shape[1] for m in meshes)
+    mv, mf, muv, mtex, seq_id = [], [], [], [], []
+    tgt_fields = {k: [] for k in RF.FrameTargets._fields}
+    for s, (mesh, tgt) in enumerate(zip(meshes, per_seq_targets)):
+        m = pad_mesh(mesh, v_max, f_max)
+        tex = np.ones((ht, wt, 3), np.float32)
+        tex[: m.texture.shape[0], : m.texture.shape[1]] = m.texture
+        n = tgt.target_masks.shape[0]
+        for _ in range(n):
+            mv.append(m.verts)
+            mf.append(m.faces)
+            muv.append(m.face_uvs)
+            mtex.append(tex)
+        seq_id.extend([s] * n)
+        for k in RF.FrameTargets._fields:
+            tgt_fields[k].append(np.asarray(getattr(tgt, k)))
+    targets = RF.FrameTargets(
+        **{k: jnp.asarray(np.concatenate(v)) for k, v in tgt_fields.items()}
+    )
+    return MultiSeqBatch(
+        mesh_verts=jnp.asarray(np.stack(mv)),
+        mesh_faces=jnp.asarray(np.stack(mf)),
+        mesh_uvs=jnp.asarray(np.stack(muv)),
+        mesh_tex=jnp.asarray(np.stack(mtex)),
+        targets=targets,
+        seq_id=np.asarray(seq_id, np.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dino_cfg", "cfg"))
+def refine_poses_multi(
+    batch: MultiSeqBatch,
+    rot_init_row: Array,
+    trans_init: Array,
+    dino_params,
+    dino_cfg: dino_mod.DinoConfig | None,
+    cfg: RF.RefineConfig = RF.RefineConfig(),
+) -> RF.RefineResult:
+    """Like tracker.refine.refine_poses, but vmapped over PER-FRAME meshes
+    (the pooled multi-sequence batch).  The pooled frame axis is the shard
+    axis for multi-chip."""
+    import optax
+
+    if trans_init.ndim == 2:
+        trans_init = trans_init[:, None, :]
+    params = {
+        "rot6d": G.matrix_to_rot6d(rot_init_row),
+        "trans": trans_init.astype(jnp.float32),
+    }
+
+    def one(r6, t, mv, mf, muv, mtex, tm, gf, K):
+        mesh = RF.MeshArrays(verts=mv, faces=mf, face_uvs=muv, texture=mtex)
+        return RF._frame_loss(r6, t, mesh, tm, gf, K, dino_params, dino_cfg, cfg)
+
+    def total_loss(p):
+        losses, ious = jax.vmap(one)(
+            p["rot6d"], p["trans"], batch.mesh_verts, batch.mesh_faces,
+            batch.mesh_uvs, batch.mesh_tex, batch.targets.target_masks,
+            batch.targets.gt_feats, batch.targets.K_rois,
+        )
+        return losses.sum(), (losses, ious)
+
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+
+    def step(_, carry):
+        params, opt_state, _, _ = carry
+        (_, (losses, ious)), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses, ious
+
+    n = rot_init_row.shape[0]
+    init = (params, opt_state, jnp.zeros((n,)), jnp.zeros((n,)))
+    params, _, losses, ious = jax.lax.fori_loop(0, cfg.num_iterations, step, init)
+    return RF.RefineResult(params["rot6d"], params["trans"], losses, ious)

@@ -232,6 +232,31 @@ def prior_scores_and_rotations(
     return scores
 
 
+def render_mesh_opencv_pose(
+    verts: Array,
+    faces: Array,
+    face_uvs: Array,
+    texture: Array,
+    R_cv: Array,
+    t_cv: Array,
+    K: Array,
+    h: int,
+    w: int,
+    face_chunk: int = 512,
+):
+    """Render a mesh under an explicit OpenCV pose (parity surface for
+    ObjTracker/utils/render.py:193-219 render_mesh_opencv_pose).
+
+    Returns (rgba (H, W, 4), depth (H, W) with -1 background).
+    """
+    verts_cam = verts @ R_cv.T + t_cv
+    vn = rz.compute_vertex_normals(verts_cam, faces)
+    vp = rz.project_perspective(verts_cam, K)
+    frag = rz.rasterize(vp, faces, (h, w), face_chunk=face_chunk)
+    img = phong_shade(frag, faces, verts_cam, vn, face_uvs, texture, default_lights())
+    return img, frag.zbuf
+
+
 def frame_gt_features(
     dino_params, dino_cfg, crop_images: Array, target_masks: Array
 ) -> tuple[Array, Array]:
