@@ -38,6 +38,16 @@ class TrainConfig:
     lw_eikonal: float = 0.1
     lw_normal: float = 0.1
     lw_corr: float = 0.0  # enabled when correspondences are provided
+    # Anti-collapse regularizers.  Without them the mask BCE can remove the
+    # init sphere by flipping the field negative along empty rays (no
+    # decrease -> no alpha) instead of carving it — observed at ~5k steps.
+    # Official NeuS samples Eikonal points uniformly in space (not just on
+    # rays); the shell hinge pins the outside-positive sign convention at
+    # the domain boundary (objects are normalized to |x| <= 0.5).
+    n_eikonal_uniform: int = 256
+    lw_shell: float = 0.1
+    shell_radius: float = 0.85  # of rcfg.bound
+    shell_margin: float = 0.05
     log_every: int = 500
     checkpoint_every: int = 5000
     seed: int = 0
@@ -107,7 +117,7 @@ def make_train_step(
     """Build the jitted train step closure."""
 
     def loss_fn(params, bg, key, data: ReconData, corr: CorrData | None):
-        k_pix, k_render, k_corr = jax.random.split(key, 3)
+        k_pix, k_render, k_corr, k_eik, k_shell = jax.random.split(key, 5)
         fr, xy, rgb_gt, mask_gt, nrm_gt = sample_ray_batch(k_pix, data, tcfg.batch_rays)
         rays = _rays_for(data, fr, xy, rcfg.bound)
         out = render_rays(params, sdf_cfg, rcfg, rays, k_render)
@@ -118,8 +128,31 @@ def make_train_step(
         l_mask = -(
             mask_gt * jnp.log(acc) + (1.0 - mask_gt) * jnp.log(1.0 - acc)
         ).mean()
-        loss = tcfg.lw_rgb * l_rgb + tcfg.lw_mask * l_mask + tcfg.lw_eikonal * out.eikonal
-        logs = {"rgb": l_rgb, "mask": l_mask, "eikonal": out.eikonal, "inv_s": out.inv_s}
+        # Uniform-space Eikonal (see TrainConfig note on field collapse).
+        from .fields import sdf_forward, sdf_grad
+
+        eik = out.eikonal
+        if tcfg.n_eikonal_uniform > 0:
+            pts_u = rcfg.bound * jax.random.uniform(
+                k_eik, (tcfg.n_eikonal_uniform, 3), minval=-1.0, maxval=1.0
+            )
+            g_u = sdf_grad(params, pts_u, sdf_cfg)
+            eik = 0.5 * (
+                eik + jnp.mean((jnp.linalg.norm(g_u, axis=-1) - 1.0) ** 2)
+            )
+        loss = tcfg.lw_rgb * l_rgb + tcfg.lw_mask * l_mask + tcfg.lw_eikonal * eik
+        logs = {"rgb": l_rgb, "mask": l_mask, "eikonal": eik, "inv_s": out.inv_s}
+
+        if tcfg.lw_shell > 0:
+            d = jax.random.normal(k_shell, (128, 3))
+            d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+            r = rcfg.bound * jax.random.uniform(
+                k_shell, (128, 1), minval=tcfg.shell_radius, maxval=1.0
+            )
+            s_shell, _ = sdf_forward(params, d * r, sdf_cfg)
+            l_shell = jax.nn.relu(tcfg.shell_margin - s_shell).mean()
+            loss = loss + tcfg.lw_shell * l_shell
+            logs["shell"] = l_shell
 
         if nrm_gt is not None and tcfg.lw_normal > 0:
             n_cam = jnp.einsum("nj,njk->nk", out.normal, data.R_rows[fr])

@@ -30,6 +30,7 @@ from ..ops.roi_align import crop_mask_bool_np, roi_align_exact_np
 from ..utils import bbox as bboxu
 from ..utils import camera as cam
 from ..utils import geometry as G
+from ..utils.profiling import Profiler
 from ..utils.objio import MeshData, load_obj
 from . import jointopt as J
 from . import priors as P
@@ -177,8 +178,10 @@ def track_sequence(
     dino_params=None,
     dino_cfg: dino_mod.DinoConfig | None = None,
     board: Board | None = None,
+    profiler: Profiler | None = None,
 ) -> TrackResult:
     """Stage 1 (init + refine) + stage 2 (joint) for a whole sequence."""
+    prof = profiler or Profiler(enabled=bool(config["system"].get("profile", True)))
     sysc = config["system"]
     s = int(sysc["crop_size"])
     f_frames, h, w = seq.obj_masks.shape
@@ -209,18 +212,22 @@ def track_sequence(
     view_rots = P.prior_view_rotations(key, prior_cfg)  # (N, 3, 3) world->cam
     priors_row = jnp.swapaxes(view_rots, -1, -2)  # row convention
 
-    gt_feats, cos_masks = P.frame_gt_features(
-        dino_params, dino_cfg, jnp.asarray(ann.crop_images), jnp.asarray(ann.target_masks)
-    )
+    with prof.phase("frame-features"):
+        gt_feats, cos_masks = P.frame_gt_features(
+            dino_params, dino_cfg, jnp.asarray(ann.crop_images), jnp.asarray(ann.target_masks)
+        )
+        jax.block_until_ready(gt_feats)
     radius, _ = P.mesh_radius_center(mesh_arrays.verts)
     window = P.compute_window(
         prior_cfg, float(radius), float(prior_cfg.distance_scale * radius)
     )
-    scores = P.prior_scores_and_rotations(
-        dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
-        mesh_arrays.face_uvs, mesh_arrays.texture, view_rots, gt_feats,
-        cos_masks, prior_cfg, window,
-    )
+    with prof.phase("prior-scoring"):
+        scores = P.prior_scores_and_rotations(
+            dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
+            mesh_arrays.face_uvs, mesh_arrays.texture, view_rots, gt_feats,
+            cos_masks, prior_cfg, window,
+        )
+        jax.block_until_ready(scores)
 
     # ---- K_rois + refine config ----
     sq = jnp.asarray(ann.square_xyxy)
@@ -250,13 +257,17 @@ def track_sequence(
         )
 
     if bool(sysc.get("parallel_refine", True)):
-        gate = S.gate_all_frames(scores, priors_row)
-        rot_init = gate.rotation_init  # (F, 3, 3)
-        trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
-        res = RF.refine_poses(
-            mesh_arrays, targets, rot_init, trans_init, dino_params, dino_cfg,
-            refine_cfg,
-        )
+        with prof.phase("gating+autodepth"):
+            gate = S.gate_all_frames(scores, priors_row)
+            rot_init = gate.rotation_init  # (F, 3, 3)
+            trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
+            jax.block_until_ready(trans_init)
+        with prof.phase("refine"):
+            res = RF.refine_poses(
+                mesh_arrays, targets, rot_init, trans_init, dino_params, dino_cfg,
+                refine_cfg,
+            )
+            jax.block_until_ready(res.rot6d)
         rot6d, trans = res.rot6d, res.translations
         sel_idx = np.asarray(gate.selected_idx)
         losses, ious = np.asarray(res.final_loss), np.asarray(res.final_iou)
@@ -300,11 +311,14 @@ def track_sequence(
         sigma=float(sysc["sigma"]),
         face_chunk=int(sysc["face_chunk"]),
     )
-    jres = J.joint_optimize(
-        mesh_arrays.verts, mesh_arrays.faces, init_rot_row, trans, K_rois,
-        jnp.asarray(ann.target_masks), joint_cfg,
-    )
+    with prof.phase("joint-opt"):
+        jres = J.joint_optimize(
+            mesh_arrays.verts, mesh_arrays.faces, init_rot_row, trans, K_rois,
+            jnp.asarray(ann.target_masks), joint_cfg,
+        )
+        jax.block_until_ready(jres.rot6d)
     history = {k: np.asarray(v) for k, v in jres.history.items()}
+    prof.summary()
     if board is not None:
         board.add_history(history)
 

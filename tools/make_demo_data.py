@@ -32,6 +32,14 @@ def main() -> None:
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--hand", action="store_true", default=True)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--correspondences", action="store_true", default=True,
+        help="write DKM-style correspondence_infos npz for adjacent frames",
+    )
+    parser.add_argument(
+        "--normals", action="store_true", default=True,
+        help="write monocular_normal maps (from the rendered geometry)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -52,6 +60,10 @@ def main() -> None:
 
     os.makedirs(os.path.join(args.out, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "sam_seg"), exist_ok=True)
+    if args.correspondences:
+        os.makedirs(os.path.join(args.out, "correspondence_infos"), exist_ok=True)
+    if args.normals:
+        os.makedirs(os.path.join(args.out, "monocular_normal"), exist_ok=True)
 
     key = jax.random.PRNGKey(args.seed)
     R0 = G.random_rotations(key, 1)[0]  # row convention start pose
@@ -64,12 +76,20 @@ def main() -> None:
         vn = rz.compute_vertex_normals(verts_cam, faces)
         vp = rz.project_perspective(verts_cam, K)
         frag = rz.rasterize(vp, faces, (h, w), face_chunk=1024)
-        return phong_shade(
+        rgba = phong_shade(
             frag, faces, verts_cam, vn, jnp.asarray(mesh.face_uvs),
             jnp.asarray(mesh.texture), default_lights(),
         )
+        # Camera-space normals (facing the viewer), StableNormal-style
+        # OpenGL encoding: flip y/z then map to [0, 1].
+        n_cam = rz.interpolate_attributes(frag, faces, vn)
+        flip = jnp.sign(-n_cam[..., 2:3])  # orient toward camera (-z view dir)
+        n_cam = n_cam * jnp.where(flip == 0, 1.0, flip)
+        n_gl = n_cam * jnp.array([1.0, -1.0, -1.0])
+        normal_img = (n_gl + 1.0) / 2.0
+        return rgba, normal_img
 
-    Rs_out, Ts_out = [], []
+    Rs_out, Ts_out, vis_masks = [], [], []
     for i in range(args.frames):
         # Smooth trajectory: slow rotation about a fixed axis + gentle drift.
         ang = 0.05 * i
@@ -80,7 +100,8 @@ def main() -> None:
         R_row = R0 @ Rz @ Ry
         t = jnp.array([0.1 * np.sin(0.2 * i), 0.05 * np.cos(0.3 * i), 2.0 + 0.1 * np.sin(0.15 * i)], jnp.float32)
 
-        rgba = np.asarray(render_frame(R_row, t))
+        rgba_j, normal_j = render_frame(R_row, t)
+        rgba = np.asarray(rgba_j)
         obj_mask = rgba[:, :, 3] > 0.5
         rgb = np.clip(rgba[:, :, :3], 0, 1)
         # Grey background instead of white (more photo-like).
@@ -110,9 +131,44 @@ def main() -> None:
             os.path.join(args.out, "rgb", fid + ".jpg"), quality=95
         )
         Image.fromarray(seg).save(os.path.join(args.out, "sam_seg", fid + ".png"))
+        if args.normals:
+            nimg = np.asarray(normal_j)
+            nimg = np.where(obj_mask[:, :, None], nimg, 0.5)
+            Image.fromarray((np.clip(nimg, 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(args.out, "monocular_normal", fid + ".png")
+            )
         Rs_out.append(np.asarray(R_row).T)  # o2c column convention (npz parity)
         Ts_out.append(np.asarray(t))
+        vis_masks.append(visible_obj)
         print(f"frame {fid}: obj px {int(visible_obj.sum())}, hand px {int(hand_mask.sum())}")
+
+    if args.correspondences:
+        from dynhor_tpu.neus.extract import sample_surface
+        from dynhor_tpu.utils.camera import batch_proj2d
+
+        surf = sample_surface(np.asarray(verts), np.asarray(mesh.faces), 400, seed=1)
+        for i in range(args.frames - 1):
+            Ra, Ta = Rs_out[i].T, Ts_out[i]  # back to row convention
+            Rb, Tb = Rs_out[i + 1].T, Ts_out[i + 1]
+            pa = surf @ Ra + Ta
+            pb = surf @ Rb + Tb
+            ua = np.asarray(batch_proj2d(jnp.asarray(pa)[None], jnp.asarray(K)[None]))[0]
+            ub = np.asarray(batch_proj2d(jnp.asarray(pb)[None], jnp.asarray(K)[None]))[0]
+            ok = (
+                (ua[:, 0] >= 1) & (ua[:, 0] < w - 1) & (ua[:, 1] >= 1) & (ua[:, 1] < h - 1)
+                & (ub[:, 0] >= 1) & (ub[:, 0] < w - 1) & (ub[:, 1] >= 1) & (ub[:, 1] < h - 1)
+            )
+            # keep matches landing on the visible object in both frames
+            ok &= vis_masks[i][ua[:, 1].astype(int).clip(0, h - 1), ua[:, 0].astype(int).clip(0, w - 1)]
+            ok &= vis_masks[i + 1][ub[:, 1].astype(int).clip(0, h - 1), ub[:, 0].astype(int).clip(0, w - 1)]
+            if ok.sum() < 8:
+                continue
+            np.savez(
+                os.path.join(args.out, "correspondence_infos", f"pairs_{i:04d}_{i + 1:04d}.npz"),
+                frame_i=f"{i:04d}", frame_j=f"{i + 1:04d}",
+                xy_i=ua[ok].astype(np.float32), xy_j=ub[ok].astype(np.float32),
+            )
+        print(f"wrote correspondences for {args.frames - 1} adjacent pairs")
 
     np.savez(
         os.path.join(args.out, "gt_poses.npz"),
