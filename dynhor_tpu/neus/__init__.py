@@ -1,1 +1,1 @@
-from . import extract, fields, rendering, trainer  # noqa: F401
+from . import data, extract, fields, rendering, trainer  # noqa: F401

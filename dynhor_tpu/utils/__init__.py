@@ -1,1 +1,1 @@
-from . import bbox, camera, geometry, masks  # noqa: F401
+from . import bbox, camera, constants, geometry, masks, objio, profiling  # noqa: F401
