@@ -48,6 +48,16 @@ class TrainConfig:
     lw_shell: float = 0.1
     shell_radius: float = 0.85  # of rcfg.bound
     shell_margin: float = 0.05
+    # The collapse is enabled by inv_s exploding early (hard, thin negative
+    # "dips" render like surfaces without any zero crossing).  Cap inv_s on
+    # an exponential ramp so the field stays soft while the geometry forms.
+    s_max_start: float = 30.0
+    s_max_end: float = 512.0
+    # Sign anchor: after normalization the object contains the origin, so
+    # sdf(near-origin) must be negative; with the shell positive and the
+    # Eikonal tying them together, a radial zero crossing must exist.
+    lw_origin: float = 0.01
+    origin_margin: float = 0.02
     log_every: int = 500
     checkpoint_every: int = 5000
     seed: int = 0
@@ -153,6 +163,10 @@ def make_train_step(
             l_shell = jax.nn.relu(tcfg.shell_margin - s_shell).mean()
             loss = loss + tcfg.lw_shell * l_shell
             logs["shell"] = l_shell
+        if tcfg.lw_origin > 0:
+            pts_o = 0.05 * jax.random.normal(jax.random.fold_in(k_shell, 1), (16, 3))
+            s_o, _ = sdf_forward(params, pts_o, sdf_cfg)
+            loss = loss + tcfg.lw_origin * jax.nn.relu(s_o + tcfg.origin_margin).mean()
 
         if nrm_gt is not None and tcfg.lw_normal > 0:
             n_cam = jnp.einsum("nj,njk->nk", out.normal, data.R_rows[fr])
@@ -204,6 +218,11 @@ def make_train_step(
         g_params, g_bg = grads
         updates, opt_state = opt.update(g_params, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        # inv_s annealing cap: s_max ramps exponentially start -> end.
+        frac = jnp.clip(state.step.astype(jnp.float32) / max(tcfg.num_steps, 1), 0, 1)
+        s_max = tcfg.s_max_start * (tcfg.s_max_end / tcfg.s_max_start) ** frac
+        params = dict(params)
+        params["variance"] = jnp.minimum(params["variance"], jnp.log(s_max) / 10.0)
         bg = state.bg_color - 1e-2 * g_bg
         return TrainState(params, opt_state, bg, state.step + 1), logs
 
