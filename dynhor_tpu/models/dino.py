@@ -100,22 +100,28 @@ def init_params(key: Array, cfg: DinoConfig = DinoConfig()) -> dict[str, Any]:
 
 
 def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
-    mu = x.mean(-1, keepdims=True)
-    var = ((x - mu) ** 2).mean(-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+    # Statistics in f32 (bf16 mean/variance loses too much), output in the
+    # compute dtype.
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return out.astype(x.dtype) * scale + bias
 
 
 def _block(x: Array, p: dict[str, Array], num_heads: int, eps: float) -> Array:
     b, n, d = x.shape
     hd = d // num_heads
+    dtype = x.dtype  # keep the scan carry dtype stable (bf16 mixed precision)
     h = _layer_norm(x, p["norm1_scale"], p["norm1_bias"], eps)
     qkv = h @ p["qkv_kernel"] + p["qkv_bias"]  # (B, N, 3D)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, n, num_heads, hd)
     k = k.reshape(b, n, num_heads, hd)
     v = v.reshape(b, n, num_heads, hd)
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(jnp.float32(hd))
-    attn = jax.nn.softmax(attn, axis=-1)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(1.0 / np.sqrt(hd), dtype)
+    # Softmax in f32 for stability, back to the compute dtype.
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
     o = o @ p["proj_kernel"] + p["proj_bias"]
     x = x + p["ls1"] * o
@@ -159,7 +165,8 @@ def forward_tokens(
     x = x @ params["patch_kernel"] + params["patch_bias"]
     cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + _interp_pos_embed(params["pos_embed"], cfg.pos_grid, gh, gw)
+    pos = _interp_pos_embed(params["pos_embed"], cfg.pos_grid, gh, gw)
+    x = x + pos.astype(x.dtype)  # pos-embed interp is f32; keep bf16 carry
 
     def body(x, blk_params):
         return _block(x, blk_params, cfg.num_heads, cfg.layer_norm_eps), None

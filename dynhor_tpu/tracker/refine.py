@@ -65,6 +65,10 @@ class RefineConfig:
     # (ops/silhouette_pallas.py, ~4x over the XLA tiled path), XLA tiled
     # elsewhere; or force "pallas" | "tiled" | "dense".
     silhouette_impl: str = "auto"
+    # DINO compute dtype for the sem loss: bfloat16 puts the ViT matmuls on
+    # the MXU's fast path; the perceptual-loss gradient tolerates it (the
+    # backbone is frozen; only the direction of the image gradient matters).
+    dino_dtype: str = "bfloat16"
 
 
 class MeshArrays(NamedTuple):
@@ -167,9 +171,13 @@ def _frame_loss(
         dino_in = resize_bicubic_align_corners(rgb[None], edge, edge)
         mean = jnp.asarray(dino_mod.IMAGENET_MEAN).reshape(1, 3, 1, 1)
         std = jnp.asarray(dino_mod.IMAGENET_STD).reshape(1, 3, 1, 1)
+        dino_in = (dino_in - mean) / std
+        # Params are pre-cast once in refine_poses (cfg.dino_dtype); match
+        # the input dtype to theirs so the ViT runs uniformly.
+        param_dtype = jax.tree.leaves(dino_params)[0].dtype
         feats = dino_mod.forward_tokens(
-            dino_params, (dino_in - mean) / std, dino_cfg
-        )[0]  # (P, D) — NOT normalized (reference forward:172,183)
+            dino_params, dino_in.astype(param_dtype), dino_cfg
+        )[0].astype(jnp.float32)  # (P, D) — NOT normalized (reference :172,183)
         fs = dino_cfg.feat_size
         ref_small = resize_nearest(ref_mask, fs, fs).reshape(-1)  # (P,)
         cos = jnp.sum(gt_feat * feats, axis=-1) / (
@@ -208,6 +216,10 @@ def refine_poses(
     """
     if trans_init.ndim == 2:
         trans_init = trans_init[:, None, :]
+    if dino_params is not None and cfg.dino_dtype == "bfloat16":
+        dino_params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16), dino_params
+        )
     params = {
         "rot6d": G.matrix_to_rot6d(rot_init_row),  # (B, 3, 2)
         "trans": trans_init.astype(jnp.float32),  # (B, 1, 3)
