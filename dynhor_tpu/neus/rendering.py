@@ -23,6 +23,16 @@ from .fields import SDFConfig, color_forward, inv_std, sdf_forward, sdf_grad
 Array = jax.Array
 
 
+def safe_norm(x: Array, eps: float = 1e-6) -> Array:
+    """sqrt(sum(x^2) + eps^2): smooth at x=0.  ``norm`` + ``maximum`` is NOT
+    enough — d|x|/dx is NaN at exactly 0 and ``NaN * 0`` poisons the VJP."""
+    return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
+
+
+def safe_normalize(x: Array, eps: float = 1e-6) -> Array:
+    return x / safe_norm(x, eps)
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     n_coarse: int = 64
@@ -182,7 +192,10 @@ def render_rays(
     mid_t = 0.5 * (t[..., 1:] + t[..., :-1])
     mid_pts = rays.origins[:, None, :] + mid_t[..., None] * rays.dirs[:, None, :]
     grads = sdf_grad(params, mid_pts, sdf_cfg)  # (N, M-1, 3)
-    normals = grads / jnp.maximum(jnp.linalg.norm(grads, axis=-1, keepdims=True), 1e-8)
+    # Smooth normalization (see safe_normalize): generous eps because the
+    # 1/|grad| backward on plateau samples otherwise dominates/NaNs the
+    # normal-supervised gradient.
+    normals = safe_normalize(grads, eps=0.05)
     mid_feat = 0.5 * (feat[..., 1:, :] + feat[..., :-1, :])
     dirs = jnp.broadcast_to(rays.dirs[:, None, :], mid_pts.shape)
     rgb_samples = color_forward(
@@ -194,5 +207,5 @@ def render_rays(
     acc = jnp.sum(weights, axis=-1)
     normal = jnp.sum(weights[..., None] * normals, axis=-2)
     surf = rays.origins + depth[..., None] * rays.dirs
-    eik = jnp.mean((jnp.linalg.norm(grads, axis=-1) - 1.0) ** 2)
+    eik = jnp.mean((safe_norm(grads)[..., 0] - 1.0) ** 2)
     return RenderOut(rgb, depth, acc, normal, eik, s, surf)

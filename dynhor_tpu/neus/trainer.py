@@ -48,11 +48,15 @@ class TrainConfig:
     lw_shell: float = 0.1
     shell_radius: float = 0.85  # of rcfg.bound
     shell_margin: float = 0.05
-    # The collapse is enabled by inv_s exploding early (hard, thin negative
-    # "dips" render like surfaces without any zero crossing).  Cap inv_s on
-    # an exponential ramp so the field stays soft while the geometry forms.
+    # inv_s is kept inside a scheduled band: exploding early enables
+    # zero-crossing-free "thin dip" rendering (empty extraction), while
+    # collapsing LOW lets a mushy field cheat the normal loss.  Both were
+    # observed; the exponential band start -> end forces sharpening on
+    # schedule.
     s_max_start: float = 30.0
     s_max_end: float = 512.0
+    s_min_start: float = 15.0
+    s_min_end: float = 150.0
     # Sign anchor: after normalization the object contains the origin, so
     # sdf(near-origin) must be negative; with the shell positive and the
     # Eikonal tying them together, a radial zero crossing must exist.
@@ -146,9 +150,11 @@ def make_train_step(
             pts_u = rcfg.bound * jax.random.uniform(
                 k_eik, (tcfg.n_eikonal_uniform, 3), minval=-1.0, maxval=1.0
             )
+            from .rendering import safe_norm
+
             g_u = sdf_grad(params, pts_u, sdf_cfg)
             eik = 0.5 * (
-                eik + jnp.mean((jnp.linalg.norm(g_u, axis=-1) - 1.0) ** 2)
+                eik + jnp.mean((safe_norm(g_u)[..., 0] - 1.0) ** 2)
             )
         loss = tcfg.lw_rgb * l_rgb + tcfg.lw_mask * l_mask + tcfg.lw_eikonal * eik
         logs = {"rgb": l_rgb, "mask": l_mask, "eikonal": eik, "inv_s": out.inv_s}
@@ -174,12 +180,13 @@ def make_train_step(
                 nrm_ref = nrm_gt * jnp.array([1.0, -1.0, -1.0])
             else:
                 nrm_ref = nrm_gt
-            cos = jnp.sum(
-                n_cam * nrm_ref, axis=-1
-            ) / (
-                jnp.linalg.norm(n_cam, axis=-1) * jnp.linalg.norm(nrm_ref, axis=-1)
-                + 1e-6
-            )
+            # Smooth normalization with a LARGE eps: |n_pred| -> 0 early
+            # in training (acc ~ 0); see rendering.safe_normalize.
+            from .rendering import safe_normalize
+
+            n_hat = safe_normalize(n_cam, eps=0.1)
+            r_hat = safe_normalize(nrm_ref, eps=0.1)
+            cos = jnp.sum(n_hat * r_hat, axis=-1)
             l_normal = ((1.0 - cos) * mask_gt).sum() / (mask_gt.sum() + 1e-6)
             loss = loss + tcfg.lw_normal * l_normal
             logs["normal"] = l_normal
@@ -191,17 +198,22 @@ def make_train_step(
             fi, fj = corr.frame_i[idx], corr.frame_j[idx]
             rays_i = _rays_for(data, fi, corr.xy_i[idx], rcfg.bound)
             out_i = render_rays(params, sdf_cfg, rcfg, rays_i, None)
-            # Project frame-i surface points into frame j.
+            # Project frame-i surface points into frame j.  Points must be
+            # well in front of camera j — a generous z floor keeps the 1/z
+            # gradient bounded (a tiny eps here NaN'd training).
             pts_cam_j = (
                 jnp.einsum("nj,njk->nk", out_i.points, data.R_rows[fj]) + data.Ts[fj]
             )
+            z_j = pts_cam_j[:, 2:]
             uv = jnp.einsum("ij,nj->ni", data.K, pts_cam_j)
-            uv = uv[:, :2] / jnp.maximum(uv[:, 2:], 1e-6)
+            uv = uv[:, :2] / jnp.maximum(z_j, 0.1)
             scale = jnp.float32(max(data.masks.shape[1], data.masks.shape[2]))
-            resid = (uv - corr.xy_j[idx]) / scale
-            conf = jax.lax.stop_gradient((out_i.acc > 0.5).astype(jnp.float32))
+            conf = jax.lax.stop_gradient(
+                ((out_i.acc > 0.5) & (z_j[:, 0] > 0.1)).astype(jnp.float32)
+            )
+            resid = (uv - corr.xy_j[idx]) / scale * conf[:, None]
             per_ray = optax.huber_loss(resid, delta=0.01).mean(axis=-1)
-            l_corr = (per_ray * conf).sum() / (conf.sum() + 1e-6)
+            l_corr = per_ray.sum() / (conf.sum() + 1e-6)
             loss = loss + tcfg.lw_corr * l_corr
             logs["corr"] = l_corr
 
@@ -218,11 +230,14 @@ def make_train_step(
         g_params, g_bg = grads
         updates, opt_state = opt.update(g_params, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        # inv_s annealing cap: s_max ramps exponentially start -> end.
+        # inv_s scheduled band (see TrainConfig).
         frac = jnp.clip(state.step.astype(jnp.float32) / max(tcfg.num_steps, 1), 0, 1)
         s_max = tcfg.s_max_start * (tcfg.s_max_end / tcfg.s_max_start) ** frac
+        s_min = tcfg.s_min_start * (tcfg.s_min_end / tcfg.s_min_start) ** frac
         params = dict(params)
-        params["variance"] = jnp.minimum(params["variance"], jnp.log(s_max) / 10.0)
+        params["variance"] = jnp.clip(
+            params["variance"], jnp.log(s_min) / 10.0, jnp.log(s_max) / 10.0
+        )
         bg = state.bg_color - 1e-2 * g_bg
         return TrainState(params, opt_state, bg, state.step + 1), logs
 
