@@ -59,6 +59,9 @@ class PriorConfig:
     face_chunk: int = 512
     window: int | None = None  # auto from geometry if None
     grid: tuple[int, int, int] | None = None  # (azimuth, elevation, roll)
+    # DINO compute dtype for prior/frame feature extraction (forward-only,
+    # retrieval scores tolerate bf16; MXU fast path).
+    dino_dtype: str = "bfloat16"
 
 
 def mesh_radius_center(verts: Array) -> tuple[Array, Array]:
@@ -125,10 +128,15 @@ def _render_one_view(
     face_chunk: int,
 ):
     """Render one prior view in the window; returns (rgba (S,S,4), zbuf)."""
+    from ..ops.rasterize_tiled import rasterize_tiled
+
     verts_cam = verts @ R_cv.T + t_cv
     vn = rz.compute_vertex_normals(verts_cam, faces)
     vp = rz.project_perspective(verts_cam, K_win)
-    frag = rz.rasterize(vp, faces, (window, window), face_chunk=face_chunk)
+    # Per-tile cap sized for the prior-view regime (object ~0.6 of the
+    # window; headroom over the measured worst tile — bin overflow would
+    # silently corrupt prior images).
+    frag = rasterize_tiled(vp, faces, (window, window), max_faces=max(face_chunk, 768))
     img = phong_shade(frag, faces, verts_cam, vn, face_uvs, texture, default_lights())
     return img, frag.zbuf
 
@@ -153,15 +161,20 @@ def _crop_view(rgba: Array, crop_size: int, bbox_expansion: float):
     return crop_img, crop_mask, sq_xyxy
 
 
-def _dino_feats_of_crops(dino_params, dino_cfg, crop_imgs: Array) -> Array:
-    """(B,3,S,S) crops -> L2-normalized DINO patch tokens (B, P, D).
+def _dino_feats_of_crops(
+    dino_params, dino_cfg, crop_imgs: Array, dtype: str = "bfloat16"
+) -> Array:
+    """(B,3,S,S) crops -> L2-normalized DINO patch tokens (B, P, D) f32.
 
     Mirrors pose_initializtion.py:224-226 (bicubic to 518, extract,
-    F.normalize).
+    F.normalize).  The ViT runs in ``dtype`` (bf16 default, forward-only).
     """
     edge = dino_cfg.smaller_edge_size
     imgs = resize_bicubic_align_corners(crop_imgs, edge, edge)
-    feats = dino_mod.extract_features(dino_params, imgs, dino_cfg)
+    if dtype == "bfloat16":
+        dino_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), dino_params)
+        imgs = imgs.astype(jnp.bfloat16)
+    feats = dino_mod.extract_features(dino_params, imgs, dino_cfg).astype(jnp.float32)
     return feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-6)
 
 
@@ -191,6 +204,10 @@ def prior_scores_and_rotations(
         (pose_initializtion.py:290,294).
       window: static render window side (compute_window).
     """
+    if cfg.dino_dtype == "bfloat16":
+        # Cast once here (outside the view-chunk map; the in-function cast
+        # below is then a no-op).
+        dino_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), dino_params)
     radius, center = mesh_radius_center(verts)
     distance = cfg.distance_scale * radius
     K_full = prior_camera(cfg)
@@ -222,7 +239,9 @@ def prior_scores_and_rotations(
             return crop_img
 
         crops = jax.vmap(one)(R_chunk, t)  # (C, 3, S, S)
-        feats = _dino_feats_of_crops(dino_params, dino_cfg, crops)  # (C, P, D)
+        feats = _dino_feats_of_crops(
+            dino_params, dino_cfg, crops, cfg.dino_dtype
+        )  # (C, P, D)
         sim = jnp.einsum("fpd,cpd->fcp", gt_feats, feats)  # cosine per token
         masked = jnp.einsum("fcp,fp->fc", sim, cos_masks)
         return masked / cos_sum[:, None]  # (F, C)
@@ -258,7 +277,8 @@ def render_mesh_opencv_pose(
 
 
 def frame_gt_features(
-    dino_params, dino_cfg, crop_images: Array, target_masks: Array
+    dino_params, dino_cfg, crop_images: Array, target_masks: Array,
+    dino_dtype: str = "bfloat16",
 ) -> tuple[Array, Array]:
     """Per-frame DINO features + token-resolution cosine masks.
 
@@ -271,7 +291,7 @@ def frame_gt_features(
 
     Returns: (gt_feats (F, P, D), cos_masks (F, P)).
     """
-    feats = _dino_feats_of_crops(dino_params, dino_cfg, crop_images)
+    feats = _dino_feats_of_crops(dino_params, dino_cfg, crop_images, dino_dtype)
     fs = dino_cfg.feat_size
     masks = resize_nearest((target_masks > 0).astype(jnp.float32), fs, fs)
     return feats, masks.reshape(masks.shape[0], -1)
