@@ -35,6 +35,7 @@ DEFAULTS: dict[str, Any] = {
             "grid": [30, 10, 13],  # run.py:136 (used if random_render false)
             "render_hw": [384, 384],  # constants.py:4
             "view_chunk": 25,
+            "host_batch": 1000,  # views per device launch (watchdog safety)
             "seed": 0,
         },
         "dino": {

@@ -113,7 +113,6 @@ def _sil_and_smooth(
     return l_sil, l_smooth, iou
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def joint_optimize(
     verts: Array,
     faces: Array,
@@ -122,8 +121,13 @@ def joint_optimize(
     K_rois: Array,
     target_masks: Array,
     cfg: JointConfig = JointConfig(),
+    iters_per_launch: int = 50,
 ) -> JointResult:
     """Stage-2 joint optimization.
+
+    Runs in host-side launches of ``iters_per_launch`` steps (state carried,
+    histories concatenated) — monolithic multi-minute device programs trip
+    some TPU runtimes' watchdog.
 
     Args:
       verts: (V, 3) canonical vertices; faces: (F, 3).
@@ -132,16 +136,50 @@ def joint_optimize(
       K_rois: (B, 3, 3) crop intrinsics in pixel units.
       target_masks: (B, S, S) tri-valued {-1, 0, 1}.
     """
+    import dataclasses
+
+    import numpy as np
+
+    total = cfg.num_iterations
+    chunk = max(min(iters_per_launch, total), 1)
+    state = None
+    result = None
+    hists = []
+    done = 0
+    while True:
+        it = min(chunk, total - done) if total else 0
+        cfg_l = dataclasses.replace(cfg, num_iterations=it)
+        result, state = _joint_launch(
+            verts, faces, rot_init_row, trans_init, K_rois, target_masks,
+            cfg_l, state,
+        )
+        jax.block_until_ready(result.rot6d)
+        hists.append(result.history)
+        done += it
+        if done >= total or total == 0:
+            break
+    history = {
+        k: jnp.concatenate([h[k] for h in hists]) for k in hists[0]
+    }
+    return JointResult(result.rot6d, result.translations, result.scale, history)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _joint_launch(
+    verts: Array,
+    faces: Array,
+    rot_init_row: Array,
+    trans_init: Array,
+    K_rois: Array,
+    target_masks: Array,
+    cfg: JointConfig = JointConfig(),
+    carry_state=None,
+) -> tuple[JointResult, tuple]:
+    """One device launch of cfg.num_iterations joint Adam steps."""
     if trans_init.ndim == 2:
         trans_init = trans_init[:, None, :]
     ref_masks = (target_masks > 0).astype(jnp.float32)
     keep_masks = (target_masks >= 0).astype(jnp.float32)
-
-    params = {
-        "rot6d": G.matrix_to_rot6d(rot_init_row),
-        "trans": trans_init.astype(jnp.float32),
-        "scale": jnp.ones(()),
-    }
 
     def loss_fn(p):
         l_sil, l_smooth, iou = _sil_and_smooth(
@@ -159,7 +197,15 @@ def joint_optimize(
         },
         labels,
     )
-    opt_state = opt.init(params)
+    if carry_state is None:
+        params = {
+            "rot6d": G.matrix_to_rot6d(rot_init_row),
+            "trans": trans_init.astype(jnp.float32),
+            "scale": jnp.ones(()),
+        }
+        opt_state = opt.init(params)
+    else:
+        params, opt_state = carry_state
 
     def step(i, carry):
         params, opt_state, hist = carry
@@ -178,7 +224,8 @@ def joint_optimize(
 
     t = cfg.num_iterations
     hist0 = {k: jnp.zeros((t,)) for k in ["loss", "loss_sil_obj", "loss_smooth_obj", "iou_object"]}
-    params, _, hist = jax.lax.fori_loop(0, t, step, (params, opt_state, hist0))
-    return JointResult(
-        params["rot6d"], params["trans"], jnp.abs(params["scale"]), hist
+    params, opt_state, hist = jax.lax.fori_loop(0, t, step, (params, opt_state, hist0))
+    return (
+        JointResult(params["rot6d"], params["trans"], jnp.abs(params["scale"]), hist),
+        (params, opt_state),
     )

@@ -222,10 +222,11 @@ def track_sequence(
         prior_cfg, float(radius), float(prior_cfg.distance_scale * radius)
     )
     with prof.phase("prior-scoring"):
-        scores = P.prior_scores_and_rotations(
+        scores = P.prior_scores_batched(
             dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
             mesh_arrays.face_uvs, mesh_arrays.texture, view_rots, gt_feats,
             cos_masks, prior_cfg, window,
+            host_batch=int(pc.get("host_batch", 1000)),
         )
         jax.block_until_ready(scores)
 

@@ -251,6 +251,48 @@ def prior_scores_and_rotations(
     return scores
 
 
+def prior_scores_batched(
+    dino_params,
+    dino_cfg,
+    verts,
+    faces,
+    face_uvs,
+    texture,
+    view_rotations,
+    gt_feats,
+    cos_masks,
+    cfg: PriorConfig,
+    window: int,
+    host_batch: int = 1000,
+):
+    """prior_scores_and_rotations in host-side slices of ``host_batch`` views.
+
+    One monolithic device program over all 6,000 views runs for minutes and
+    trips the device watchdog on some TPU runtimes (observed as
+    'UNAVAILABLE: TPU device error' mid-scoring).  Slicing at the host
+    keeps each launch ~20 s; the jit is shape-stable so only the first
+    slice compiles.
+    """
+    import numpy as np
+
+    n = view_rotations.shape[0]
+    host_batch = min(host_batch, n)
+    # Pad to a multiple so every slice hits the same compiled shape.
+    pad = (-n) % host_batch
+    if pad:
+        view_rotations = jnp.concatenate(
+            [view_rotations, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))]
+        )
+    outs = []
+    for i in range(0, n + pad, host_batch):
+        s = prior_scores_and_rotations(
+            dino_params, dino_cfg, verts, faces, face_uvs, texture,
+            view_rotations[i : i + host_batch], gt_feats, cos_masks, cfg, window,
+        )
+        outs.append(jax.block_until_ready(s))
+    return jnp.concatenate(outs, axis=1)[:, :n]
+
+
 def render_mesh_opencv_pose(
     verts: Array,
     faces: Array,

@@ -196,7 +196,6 @@ class RefineResult(NamedTuple):
     final_iou: Array  # (B,)
 
 
-@functools.partial(jax.jit, static_argnames=("dino_cfg", "cfg"))
 def refine_poses(
     mesh: MeshArrays,
     targets: FrameTargets,
@@ -205,8 +204,14 @@ def refine_poses(
     dino_params: dict[str, Any] | None,
     dino_cfg: dino_mod.DinoConfig | None,
     cfg: RefineConfig = RefineConfig(),
+    iters_per_launch: int = 25,
 ) -> RefineResult:
     """Refine all frames' poses jointly-batched (independently-parameterized).
+
+    The Adam loop runs in host-side launches of ``iters_per_launch`` steps
+    (state carried across launches, one compile): monolithic multi-minute
+    device programs trip some TPU runtimes' watchdog (see
+    .claude/skills/verify/SKILL.md).
 
     Args:
       rot_init_row: (B, 3, 3) row-convention rotation inits (from gating).
@@ -214,16 +219,44 @@ def refine_poses(
 
     Returns: RefineResult (row-convention 6D rotations).
     """
+    total = cfg.num_iterations
+    chunk = max(min(iters_per_launch, total), 1)
+    n_launches = -(-total // chunk) if total else 0
+    state = None
+    result = None
+    done = 0
+    for _ in range(max(n_launches, 1)):
+        it = min(chunk, total - done) if total else 0
+        cfg_l = dataclasses.replace(cfg, num_iterations=it)
+        result, state = _refine_launch(
+            mesh, targets, rot_init_row, trans_init, dino_params, dino_cfg,
+            cfg_l, state,
+        )
+        jax.block_until_ready(result.rot6d)
+        done += it
+        if done >= total:
+            break
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("dino_cfg", "cfg"))
+def _refine_launch(
+    mesh: MeshArrays,
+    targets: FrameTargets,
+    rot_init_row: Array,
+    trans_init: Array,
+    dino_params: dict[str, Any] | None,
+    dino_cfg: dino_mod.DinoConfig | None,
+    cfg: RefineConfig = RefineConfig(),
+    carry_state=None,
+) -> tuple[RefineResult, Any]:
+    """One device launch of cfg.num_iterations Adam steps."""
     if trans_init.ndim == 2:
         trans_init = trans_init[:, None, :]
     if dino_params is not None and cfg.dino_dtype == "bfloat16":
         dino_params = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16), dino_params
         )
-    params = {
-        "rot6d": G.matrix_to_rot6d(rot_init_row),  # (B, 3, 2)
-        "trans": trans_init.astype(jnp.float32),  # (B, 1, 3)
-    }
 
     def total_loss(p):
         def one(r6, t, tm, gf, K):
@@ -238,7 +271,14 @@ def refine_poses(
         return losses.sum(), (losses, ious)
 
     opt = optax.adam(cfg.lr)
-    opt_state = opt.init(params)
+    if carry_state is None:
+        params = {
+            "rot6d": G.matrix_to_rot6d(rot_init_row),  # (B, 3, 2)
+            "trans": trans_init.astype(jnp.float32),  # (B, 1, 3)
+        }
+        opt_state = opt.init(params)
+    else:
+        params, opt_state = carry_state
 
     def step(_, carry):
         params, opt_state, _, _ = carry
@@ -249,5 +289,8 @@ def refine_poses(
 
     b = rot_init_row.shape[0]
     init = (params, opt_state, jnp.zeros((b,)), jnp.zeros((b,)))
-    params, _, losses, ious = jax.lax.fori_loop(0, cfg.num_iterations, step, init)
-    return RefineResult(params["rot6d"], params["trans"], losses, ious)
+    params, opt_state, losses, ious = jax.lax.fori_loop(0, cfg.num_iterations, step, init)
+    return (
+        RefineResult(params["rot6d"], params["trans"], losses, ious),
+        (params, opt_state),
+    )
