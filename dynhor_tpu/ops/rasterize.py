@@ -105,7 +105,10 @@ def rasterize(
         x1, y1, z1 = fv[:, 1, 0], fv[:, 1, 1], fv[:, 1, 2]
         x2, y2, z2 = fv[:, 2, 0], fv[:, 2, 1], fv[:, 2, 2]
         area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # (FC,)
-        inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)
+        # Double-where: 1/area must not be EVALUATED at degenerate faces —
+        # its backward is inf/NaN there even when the where discards it.
+        degen = jnp.abs(area) < 1e-12
+        inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))
         # (P, FC) edge functions -> signed barycentrics (sign-normalized by
         # the area so both windings rasterize).
         e12 = _edge(x1, y1, x2, y2, gx[:, None], gy[:, None])
@@ -162,7 +165,8 @@ def barycentrics_at(
     x1, y1 = fv[:, 1, 0], fv[:, 1, 1]
     x2, y2 = fv[:, 2, 0], fv[:, 2, 1]
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)
+    degen = jnp.abs(area) < 1e-12  # double-where (see rasterize chunk body)
+    inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))
     w0 = _edge(x1, y1, x2, y2, gx, gy) * inv_area
     w1 = _edge(x2, y2, x0, y0, gx, gy) * inv_area
     w2 = _edge(x0, y0, x1, y1, gx, gy) * inv_area
@@ -217,5 +221,12 @@ def compute_vertex_normals(verts: Array, faces: Array) -> Array:
     vn = vn.at[faces[:, 0]].add(fn)
     vn = vn.at[faces[:, 1]].add(fn)
     vn = vn.at[faces[:, 2]].add(fn)
-    norm = jnp.linalg.norm(vn, axis=-1, keepdims=True)
-    return vn / jnp.maximum(norm, 1e-12)
+    # Double-where normalization: vertices whose incident faces are all
+    # degenerate (mesh-pad faces, UV-sphere poles) have EXACTLY zero
+    # normals; naive eps tricks either NaN the VJP (d|v|/dv at 0) or blow
+    # up gradients (1/eps scale).  Unsafe rows get normal 0 with a clean
+    # zero gradient.
+    n2 = jnp.sum(vn * vn, axis=-1, keepdims=True)
+    safe = n2 > 1e-12
+    n2_safe = jnp.where(safe, n2, 1.0)
+    return jnp.where(safe, vn / jnp.sqrt(n2_safe), 0.0)

@@ -140,7 +140,8 @@ def soft_silhouette_tiled(
         pxx = gx[:, :, None]  # (C, P, 1)
         pyy = gy[:, :, None]
         area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)  # (C, M)
-        inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)[:, None, :]
+        degen = jnp.abs(area) < 1e-12  # double-where: no 1/0 in backward
+        inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))[:, None, :]
         w0 = ((x2 - x1)[:, None, :] * (pyy - y1[:, None, :]) - (y2 - y1)[:, None, :] * (pxx - x1[:, None, :])) * inv_area
         w1 = ((x0 - x2)[:, None, :] * (pyy - y2[:, None, :]) - (y0 - y2)[:, None, :] * (pxx - x2[:, None, :])) * inv_area
         w2 = ((x1 - x0)[:, None, :] * (pyy - y0[:, None, :]) - (y1 - y0)[:, None, :] * (pxx - x0[:, None, :])) * inv_area
@@ -157,7 +158,11 @@ def soft_silhouette_tiled(
             logit = sign * jnp.sqrt(jnp.maximum(d2, 1e-12)) * inv_sigma
         else:
             logit = sign * d2 * inv_sigma
-        visible = valid & ((z0 > znear) | (z1 > znear) | (z2 > znear))
+        visible = (
+            valid
+            & ((z0 > znear) | (z1 > znear) | (z2 > znear))
+            & (jnp.abs(area) > 1e-12)  # degenerate padded faces add no mass
+        )
         mass = jnp.where(visible[:, None, :], jax.nn.softplus(logit), 0.0)
         return mass.sum(axis=-1)  # (C, P)
 
@@ -212,7 +217,8 @@ def rasterize_tiled(
         gx = (ox_c[:, None] + px[None, :])[:, :, None]
         gy = (oy_c[:, None] + py[None, :])[:, :, None]
         area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-        inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)[:, None, :]
+        degen = jnp.abs(area) < 1e-12  # double-where: no 1/0 in backward
+        inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))[:, None, :]
         e12 = _edge(x1[:, None, :], y1[:, None, :], x2[:, None, :], y2[:, None, :], gx, gy)
         e20 = _edge(x2[:, None, :], y2[:, None, :], x0[:, None, :], y0[:, None, :], gx, gy)
         e01 = _edge(x0[:, None, :], y0[:, None, :], x1[:, None, :], y1[:, None, :], gx, gy)

@@ -105,16 +105,22 @@ def phong_shade(
       face_uvs: (F, 3, 2) per-corner UVs.
       texture: (Ht, Wt, 3).
     """
+    def _safe_unit(v, eps2=1e-12):
+        # Double-where normalization (clean zero + zero gradient at v=0;
+        # see ops/rasterize.compute_vertex_normals).
+        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        safe = n2 > eps2
+        n2_safe = jnp.where(safe, n2, 1.0)
+        return jnp.where(safe, v / jnp.sqrt(n2_safe), 0.0)
+
     hit = (fragments.pix_to_face >= 0)[..., None]
     pos = interpolate_attributes(fragments, faces, verts_cam)  # (H, W, 3)
-    nrm = interpolate_attributes(fragments, faces, vert_normals_cam)
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    nrm = _safe_unit(interpolate_attributes(fragments, faces, vert_normals_cam))
     uv = interpolate_face_attributes(fragments, face_uvs)  # (H, W, 2)
     texel = sample_texture(texture, uv)
 
-    to_light = lights.location[None, None] - pos
-    l_dir = to_light / jnp.maximum(jnp.linalg.norm(to_light, axis=-1, keepdims=True), 1e-12)
-    v_dir = -pos / jnp.maximum(jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-12)
+    l_dir = _safe_unit(lights.location[None, None] - pos)
+    v_dir = _safe_unit(-pos)
     ndl = jax.nn.relu(jnp.sum(nrm * l_dir, axis=-1, keepdims=True))
     refl = 2.0 * jnp.sum(nrm * l_dir, axis=-1, keepdims=True) * nrm - l_dir
     rdv = jax.nn.relu(jnp.sum(refl * v_dir, axis=-1, keepdims=True))

@@ -97,7 +97,8 @@ def soft_silhouette(
         x1, y1, z1 = fv[:, 1, 0], fv[:, 1, 1], fv[:, 1, 2]
         x2, y2, z2 = fv[:, 2, 0], fv[:, 2, 1], fv[:, 2, 2]
         area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-        inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)
+        degen = jnp.abs(area) < 1e-12  # double-where: no 1/0 in backward
+        inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))
         px = gx[:, None]
         py = gy[:, None]
         # Signed inside test via sign-normalized barycentrics (both windings).
@@ -117,8 +118,14 @@ def soft_silhouette(
             logit = sign * jnp.sqrt(jnp.maximum(d2, 1e-12)) * inv_sigma
         else:  # "squared" (SoftRas)
             logit = sign * d2 * inv_sigma
-        # Faces behind the camera or padded do not contribute.
-        visible = real_mask & ((z0 > znear) | (z1 > znear) | (z2 > znear))
+        # Faces behind the camera, padded, or degenerate (zero area — e.g.
+        # multi-sequence mesh padding uses (0,0,0) faces) do not contribute;
+        # a degenerate face otherwise adds mass near its collapsed point.
+        visible = (
+            real_mask
+            & ((z0 > znear) | (z1 > znear) | (z2 > znear))
+            & (jnp.abs(area) > 1e-12)
+        )
         mass = jnp.where(visible[None, :], jax.nn.softplus(logit), 0.0)
         return acc + mass.sum(axis=1), None
 

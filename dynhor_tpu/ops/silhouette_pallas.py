@@ -44,7 +44,8 @@ def _tile_mass(rows: Array, px: Array, py: Array, sigma: float, dist_mode: str) 
     vis = rows[6][None, :]
 
     area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
-    inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)
+    degen = jnp.abs(area) < 1e-12  # double-where: no 1/0 in backward
+    inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))
     w0 = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * inv_area
     w1 = ((x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)) * inv_area
     w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * inv_area
@@ -69,7 +70,8 @@ def _tile_mass(rows: Array, px: Array, py: Array, sigma: float, dist_mode: str) 
         logit = sign * jnp.sqrt(jnp.maximum(d2, 1e-12)) / sigma
     else:
         logit = sign * d2 / sigma
-    mass = jnp.where(vis > 0.5, jax.nn.softplus(logit), 0.0)
+    visible = (vis > 0.5) & (jnp.abs(area) > 1e-12)  # exclude degenerate faces
+    mass = jnp.where(visible, jax.nn.softplus(logit), 0.0)
     return mass.sum(axis=1)
 
 

@@ -210,3 +210,37 @@ def test_phong_shade_camera_facing():
     np.testing.assert_allclose(img[16, 16, 0], 1.0, atol=0.05)  # 0.6+0.4+eps spec
     # Background is white with alpha 0.
     np.testing.assert_allclose(img[0, 0], [1, 1, 1, 0], atol=1e-6)
+
+
+def test_degenerate_faces_have_finite_gradients():
+    """Real meshes contain exactly-zero-area faces (UV-sphere poles, padded
+    faces). Every 1/area site must use the double-where pattern — a single
+    where still evaluates 1/0 in the backward (inf * 0 = NaN)."""
+    import dynhor_tpu.ops.rasterize_tiled as RT
+
+    size = 32
+    verts = jnp.array(
+        [
+            [-0.3, -0.2, 2.0], [0.4, -0.1, 2.0], [0.0, 0.5, 2.0],
+            [0.1, 0.1, 2.0],  # duplicated position for the degenerate face
+        ]
+    )
+    faces = jnp.array([[0, 1, 2], [3, 3, 3], [1, 2, 3]], jnp.int32)
+    K = _K(size, f=size)
+
+    def loss_soft(v):
+        vp = RZ.project_perspective(v, K)
+        return jnp.sum(SIL.soft_silhouette(vp, faces, (size, size), face_chunk=3) ** 2)
+
+    def loss_tiled(v):
+        vp = RZ.project_perspective(v, K)
+        return jnp.sum(RT.soft_silhouette_tiled(vp, faces, (size, size)) ** 2)
+
+    def loss_frag(v):
+        vp = RZ.project_perspective(v, K)
+        frag = RT.rasterize_tiled(vp, faces, (size, size))
+        return jnp.sum(frag.bary**2) + jnp.sum(RZ.compute_vertex_normals(v, faces) ** 2)
+
+    for fn in [loss_soft, loss_tiled, loss_frag]:
+        g = jax.grad(fn)(verts)
+        assert np.isfinite(np.asarray(g)).all(), fn.__name__
