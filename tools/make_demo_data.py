@@ -80,11 +80,19 @@ def main() -> None:
             frag, faces, verts_cam, vn, jnp.asarray(mesh.face_uvs),
             jnp.asarray(mesh.texture), default_lights(),
         )
-        # Camera-space normals (facing the viewer), StableNormal-style
-        # OpenGL encoding: flip y/z then map to [0, 1].
-        n_cam = rz.interpolate_attributes(frag, faces, vn)
-        flip = jnp.sign(-n_cam[..., 2:3])  # orient toward camera (-z view dir)
-        n_cam = n_cam * jnp.where(flip == 0, 1.0, flip)
+        # Camera-space normals, StableNormal-style OpenGL encoding.  Use
+        # per-FACE geometric normals flipped toward the camera: vertex
+        # normals cancel to ~0 on meshes with mixed winding (procedural
+        # kettle), which poisoned the normal supervision.
+        fv = verts_cam[faces]  # (F, 3, 3)
+        fn = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+        n2 = jnp.sum(fn * fn, axis=-1, keepdims=True)
+        fn = jnp.where(n2 > 1e-20, fn / jnp.sqrt(jnp.where(n2 > 1e-20, n2, 1.0)), 0.0)
+        center = fv.mean(axis=1)
+        toward = -jnp.sign(jnp.sum(fn * center, axis=-1, keepdims=True))
+        fn = fn * jnp.where(toward == 0, 1.0, toward)  # face the camera
+        face_attr = jnp.broadcast_to(fn[:, None, :], (fn.shape[0], 3, 3))
+        n_cam = rz.interpolate_face_attributes(frag, face_attr)
         n_gl = n_cam * jnp.array([1.0, -1.0, -1.0])
         normal_img = (n_gl + 1.0) / 2.0
         return rgba, normal_img
