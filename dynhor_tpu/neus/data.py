@@ -106,15 +106,24 @@ def load_correspondences(
     fi, fj, xi, xj = [], [], [], []
     for path in sorted(globlib.glob(os.path.join(corr_dir, "*.npz"))):
         d = np.load(path, allow_pickle=True)
-        a = d["frame_i"]
-        b = d["frame_j"]
-        a_id = str(a) if a.ndim == 0 else str(a.item())
-        b_id = str(b) if b.ndim == 0 else str(b.item())
-        if a_id not in id_to_idx or b_id not in id_to_idx:
+        def resolve(v) -> int | None:
+            """Frame reference -> index: accepts a frame-id string or an
+            integer index into the sorted rgb list (both documented)."""
+            raw = v.item() if getattr(v, "ndim", 1) == 0 else v
+            if isinstance(raw, (int,)) or (
+                isinstance(raw, str) and raw.isdigit() and raw not in id_to_idx
+            ):
+                idx = int(raw)
+                return idx if 0 <= idx < len(frame_ids) else None
+            return id_to_idx.get(str(raw))
+
+        ai = resolve(d["frame_i"])
+        bi = resolve(d["frame_j"])
+        if ai is None or bi is None:
             continue
         m = d["xy_i"].shape[0]
-        fi.append(np.full((m,), id_to_idx[a_id], np.int32))
-        fj.append(np.full((m,), id_to_idx[b_id], np.int32))
+        fi.append(np.full((m,), ai, np.int32))
+        fj.append(np.full((m,), bi, np.int32))
         xi.append(d["xy_i"].astype(np.float32) / downscale)
         xj.append(d["xy_j"].astype(np.float32) / downscale)
     if not fi:

@@ -91,7 +91,11 @@ class CorrData(NamedTuple):
 
 
 def sample_ray_batch(key: Array, data: ReconData, n_rays: int):
-    """Uniformly sample (frame, pixel) pairs, biased to the mask's bbox."""
+    """Uniformly sample (frame, pixel) pairs over the full image.
+
+    (Mask-bbox-biased sampling is a possible future optimization for small
+    objects in large frames; uniform keeps the background/mask BCE balanced.)
+    """
     f, h, w = data.masks.shape
     k1, k2, k3 = jax.random.split(key, 3)
     fr = jax.random.randint(k1, (n_rays,), 0, f)
@@ -160,10 +164,11 @@ def make_train_step(
         logs = {"rgb": l_rgb, "mask": l_mask, "eikonal": eik, "inv_s": out.inv_s}
 
         if tcfg.lw_shell > 0:
-            d = jax.random.normal(k_shell, (128, 3))
+            k_dir, k_rad = jax.random.split(k_shell)
+            d = jax.random.normal(k_dir, (128, 3))
             d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
             r = rcfg.bound * jax.random.uniform(
-                k_shell, (128, 1), minval=tcfg.shell_radius, maxval=1.0
+                k_rad, (128, 1), minval=tcfg.shell_radius, maxval=1.0
             )
             s_shell, _ = sdf_forward(params, d * r, sdf_cfg)
             l_shell = jax.nn.relu(tcfg.shell_margin - s_shell).mean()

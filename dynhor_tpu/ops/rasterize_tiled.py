@@ -11,8 +11,9 @@ cap — XLA needs static shapes) reduces the work by roughly
 (image / object-extent)^2 x (tile utilization), ~5-20x in practice.
 
 The cap is a correctness knob: tiles overflowing ``max_faces_per_tile``
-silently drop the lowest-index faces; ``bin_faces`` returns the overflow
-count so callers/tests can assert headroom.
+silently drop the HIGHEST-index faces (top_k keeps the lowest face ids);
+``bin_faces`` returns the overflow count — the tracking pipeline checks it
+host-side at the init poses and warns, and tests assert headroom.
 """
 from __future__ import annotations
 

@@ -218,6 +218,14 @@ def soft_silhouette_pallas(
     # Visibility/padding rows carry no gradient.
     rows = rows.at[:, 6:].set(jax.lax.stop_gradient(rows[:, 6:]))
 
+    # Pad the face axis to a multiple of 128: the backward kernel slices
+    # 128-wide face chunks, which would read/write out of bounds for
+    # meshes with m % 128 != 0 (bin_faces clamps max_faces to F).
+    pad_m = (-rows.shape[2]) % 128
+    if pad_m:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros(rows.shape[:2] + (pad_m,), rows.dtype)], axis=2
+        )
     pad_t = (-t_total) % 8  # _TB
     if pad_t:
         rows = jnp.concatenate(

@@ -92,15 +92,10 @@ def _sil_and_smooth(
             )
         else:
             soft = soft_silhouette(vp, faces, (s, s), sigma=cfg.sigma, face_chunk=cfg.face_chunk)
-        if cfg.use_tiled:
-            from ..ops.rasterize_tiled import rasterize_tiled
-
-            frag = rasterize_tiled(
-                vp, faces, (s, s), tile=cfg.tile_size, max_faces=cfg.max_faces_per_tile
-            )
-        else:
-            frag = rz.rasterize(vp, faces, (s, s), face_chunk=cfg.face_chunk)
-        hard = (frag.pix_to_face >= 0).astype(jnp.float32)
+        # Thresholded soft as the IoU metric proxy: a second (hard)
+        # rasterization per step only fed this logged scalar and roughly
+        # doubled the joint stage's raster cost.
+        hard = jax.lax.stop_gradient((soft > 0.5).astype(jnp.float32))
         return soft, hard
 
     sil, hard = jax.vmap(render)(verts_t, K_rois)  # (B, S, S) each

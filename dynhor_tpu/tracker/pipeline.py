@@ -30,6 +30,7 @@ from ..ops.roi_align import crop_mask_bool_np, roi_align_exact_np
 from ..utils import bbox as bboxu
 from ..utils import camera as cam
 from ..utils import geometry as G
+from ..utils import masks as masksu
 from ..utils.profiling import Profiler
 from ..utils.objio import MeshData, load_obj
 from . import jointopt as J
@@ -118,8 +119,9 @@ def process_frames(
         hand_crop = crop_mask_bool_np(
             seq.hand_masks[i].astype(np.float32), sq_xyxy, crop_size
         )
-        target = np.where(hand_crop, -1.0, 0.0)
-        target[crop_mask] = 1.0  # object wins (maskutils.py:25-28)
+        target = np.asarray(
+            masksu.add_occlusions(jnp.asarray(crop_mask), jnp.asarray(hand_crop))
+        )
 
         bboxes.append(bbox_xywh)
         squares.append(sq_xyxy)
@@ -217,9 +219,10 @@ def track_sequence(
             dino_params, dino_cfg, jnp.asarray(ann.crop_images), jnp.asarray(ann.target_masks)
         )
         jax.block_until_ready(gt_feats)
-    radius, _ = P.mesh_radius_center(mesh_arrays.verts)
+    radius, _ = P.mesh_radius_center(mesh_arrays.verts)  # camera-distance radius
     window = P.compute_window(
-        prior_cfg, float(radius), float(prior_cfg.distance_scale * radius)
+        prior_cfg, float(P.mesh_norm_radius(mesh_arrays.verts)),
+        float(prior_cfg.distance_scale * radius),
     )
     with prof.phase("prior-scoring"):
         scores = P.prior_scores_batched(
@@ -235,6 +238,26 @@ def track_sequence(
     K_rois = cam.get_K_crop_resize(
         jnp.broadcast_to(jnp.asarray(K_full), (f_frames, 3, 3)), sq, s
     )
+    def _check_bin_overflow(rot_row, trans, tag):
+        """Host-side guard: tile-bin overflow silently drops faces (drops the
+        highest-index ones), so warn loudly if the cap is too small at the
+        init poses (the crop framing barely changes during refinement)."""
+        from ..ops.rasterize import project_perspective
+        from ..ops.rasterize_tiled import bin_faces
+
+        i = rot_row.shape[0] // 2
+        vc = mesh_arrays.verts @ rot_row[i] + jnp.reshape(trans[i], (1, 3))
+        vp = project_perspective(vc, K_rois[i])
+        bins = bin_faces(vp, mesh_arrays.faces, (s, s), margin=3.0)
+        ov = int(bins.overflow)
+        if ov > 0:
+            print(
+                f"WARNING: tile-bin overflow ({ov} face-tile pairs dropped) at"
+                f" the {tag} pose — raise system.max_faces_per_tile or set"
+                f" use_tiled: false",
+                flush=True,
+            )
+
     refine_cfg = RF.RefineConfig(
         num_iterations=int(sysc["init_num_iterations"]),
         lr=float(sysc["init_lr"]),
@@ -263,6 +286,7 @@ def track_sequence(
             rot_init = gate.rotation_init  # (F, 3, 3)
             trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
             jax.block_until_ready(trans_init)
+            _check_bin_overflow(rot_init, trans_init, "init")
         with prof.phase("refine"):
             res = RF.refine_poses(
                 mesh_arrays, targets, rot_init, trans_init, dino_params, dino_cfg,

@@ -76,6 +76,15 @@ def mesh_radius_center(verts: Array) -> tuple[Array, Array]:
     return radius, center
 
 
+def mesh_norm_radius(verts: Array) -> Array:
+    """Max vertex 2-norm from the bbox center (silhouette bound for
+    compute_window)."""
+    vmin = verts.min(axis=0)
+    vmax = verts.max(axis=0)
+    center = (vmin + vmax) / 2.0
+    return jnp.linalg.norm(verts - center, axis=1).max()
+
+
 def prior_camera(cfg: PriorConfig) -> Array:
     """Full-frame pixel intrinsics for prior renders (PyTorch3D NDC focal
     -> pixels: f = focal_ndc * min(H, W) / 2, principal at image center)."""
@@ -88,7 +97,13 @@ def prior_camera(cfg: PriorConfig) -> Array:
 
 def compute_window(cfg: PriorConfig, radius: float, distance: float) -> int:
     """Side of the central square window guaranteed to contain the
-    silhouette plus bbox padding/expansion, rounded up to a multiple of 8."""
+    silhouette plus bbox padding/expansion, rounded up to a multiple of 8.
+
+    ``radius`` must BOUND the vertex 2-norm from the mesh center (use
+    ``float(jnp.linalg.norm(verts - center, axis=1).max())``), NOT the
+    per-axis bbox radius the camera-distance heuristic uses — per-axis
+    underestimates the silhouette by up to sqrt(3) and would clip it.
+    """
     f = cfg.focal_ndc * min(cfg.render_h, cfg.render_w) / 2.0
     if distance <= radius:
         return min(cfg.render_h, cfg.render_w)
@@ -171,10 +186,16 @@ def _dino_feats_of_crops(
     """
     edge = dino_cfg.smaller_edge_size
     imgs = resize_bicubic_align_corners(crop_imgs, edge, edge)
+    # ImageNet-normalize in f32 FIRST, then cast: extract_features' f32
+    # mean/std constants would otherwise promote a bf16 input back to f32
+    # and silently undo the MXU fast path.
+    mean = jnp.asarray(dino_mod.IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(dino_mod.IMAGENET_STD).reshape(1, 3, 1, 1)
+    imgs = (imgs - mean) / std
     if dtype == "bfloat16":
         dino_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), dino_params)
         imgs = imgs.astype(jnp.bfloat16)
-    feats = dino_mod.extract_features(dino_params, imgs, dino_cfg).astype(jnp.float32)
+    feats = dino_mod.forward_tokens(dino_params, imgs, dino_cfg).astype(jnp.float32)
     return feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-6)
 
 

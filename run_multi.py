@@ -79,9 +79,10 @@ def main() -> None:
             dino_params, dino_cfg, jnp.asarray(ann.crop_images),
             jnp.asarray(ann.target_masks),
         )
-        radius, _ = P.mesh_radius_center(ma.verts)
+        radius, _ = P.mesh_radius_center(ma.verts)  # camera-distance radius
         window = P.compute_window(
-            prior_cfg, float(radius), float(prior_cfg.distance_scale * radius)
+            prior_cfg, float(P.mesh_norm_radius(ma.verts)),
+            float(prior_cfg.distance_scale * radius),
         )
         scores = P.prior_scores_batched(
             dino_params, dino_cfg, ma.verts, ma.faces, ma.face_uvs, ma.texture,
