@@ -263,7 +263,11 @@ def make_optimizer(tcfg: TrainConfig):
     sched = optax.warmup_cosine_decay_schedule(
         0.0, tcfg.lr, tcfg.warmup, max(tcfg.num_steps, tcfg.warmup + 1)
     )
-    return optax.adam(sched)
+    # Global-norm clipping: rare gradient spikes (raster edge cases, the
+    # normal loss near grazing surfaces) can kick the field into the
+    # no-zero-crossing basin mid-training (observed: psnr 32 -> collapse
+    # between steps 1k-2k on a seed change).
+    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
 
 
 def train(
