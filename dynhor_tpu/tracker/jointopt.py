@@ -141,14 +141,20 @@ def joint_optimize(
     result = None
     hists = []
     done = 0
+    from ..utils.retry import retry_on_device_error
+
+    def one_launch(cfg_l, st):
+        r, st2 = _joint_launch(
+            verts, faces, rot_init_row, trans_init, K_rois, target_masks,
+            cfg_l, st,
+        )
+        jax.block_until_ready(r.rot6d)
+        return r, st2
+
     while True:
         it = min(chunk, total - done) if total else 0
         cfg_l = dataclasses.replace(cfg, num_iterations=it)
-        result, state = _joint_launch(
-            verts, faces, rot_init_row, trans_init, K_rois, target_masks,
-            cfg_l, state,
-        )
-        jax.block_until_ready(result.rot6d)
+        result, state = retry_on_device_error(one_launch, cfg_l, state, tag="joint-opt")
         hists.append(result.history)
         done += it
         if done >= total or total == 0:

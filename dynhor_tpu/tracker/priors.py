@@ -304,13 +304,18 @@ def prior_scores_batched(
         view_rotations = jnp.concatenate(
             [view_rotations, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))]
         )
-    outs = []
-    for i in range(0, n + pad, host_batch):
+    from ..utils.retry import retry_on_device_error
+
+    def one_slice(i):
         s = prior_scores_and_rotations(
             dino_params, dino_cfg, verts, faces, face_uvs, texture,
             view_rotations[i : i + host_batch], gt_feats, cos_masks, cfg, window,
         )
-        outs.append(jax.block_until_ready(s))
+        return jax.block_until_ready(s)
+
+    outs = []
+    for i in range(0, n + pad, host_batch):
+        outs.append(retry_on_device_error(one_slice, i, tag="prior-scoring"))
     return jnp.concatenate(outs, axis=1)[:, :n]
 
 

@@ -225,14 +225,20 @@ def refine_poses(
     state = None
     result = None
     done = 0
+    from ..utils.retry import retry_on_device_error
+
+    def one_launch(cfg_l, st):
+        r, st2 = _refine_launch(
+            mesh, targets, rot_init_row, trans_init, dino_params, dino_cfg,
+            cfg_l, st,
+        )
+        jax.block_until_ready(r.rot6d)
+        return r, st2
+
     for _ in range(max(n_launches, 1)):
         it = min(chunk, total - done) if total else 0
         cfg_l = dataclasses.replace(cfg, num_iterations=it)
-        result, state = _refine_launch(
-            mesh, targets, rot_init_row, trans_init, dino_params, dino_cfg,
-            cfg_l, state,
-        )
-        jax.block_until_ready(result.rot6d)
+        result, state = retry_on_device_error(one_launch, cfg_l, state, tag="refine")
         done += it
         if done >= total:
             break
