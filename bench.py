@@ -28,6 +28,8 @@ REFINE_STEPS_FULL = 100
 
 
 def main() -> None:
+    from dynhor_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

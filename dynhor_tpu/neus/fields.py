@@ -9,8 +9,8 @@ Two encoder families share the same SDF/color heads:
   * "pe":   frequency positional encoding + 8x256 MLP with skip, geometric
             sphere initialization (classic NeuS).
   * "hash": multiresolution hash grid + small MLPs (instant-nsr-pl path);
-            the encoding is one big batched gather + trilerp — XLA-friendly,
-            with a Pallas kernel drop-in (ops/hashgrid_pallas.py).
+            the encoding is one big batched gather + trilerp (8 fused
+            gathers from a flattened table, level-vectorized).
 
 Everything is functional: ``init_*_params(key) -> pytree``,
 ``sdf_fn(params, x) -> (sdf, feat)``; gradients for Eikonal/normals come

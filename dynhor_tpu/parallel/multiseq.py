@@ -113,7 +113,10 @@ def refine_poses_multi(
 
     def one(r6, t, mv, mf, muv, mtex, tm, gf, K):
         mesh = RF.MeshArrays(verts=mv, faces=mf, face_uvs=muv, texture=mtex)
-        return RF._frame_loss(r6, t, mesh, tm, gf, K, dino_params, dino_cfg, cfg)
+        loss, iou, _ = RF._frame_loss(
+            r6, t, mesh, tm, gf, K, dino_params, dino_cfg, cfg
+        )
+        return loss, iou
 
     def total_loss(p):
         losses, ious = jax.vmap(one)(

@@ -77,12 +77,18 @@ def _sil_and_smooth(
                 else ("tiled" if cfg.use_tiled else "dense")
             )
         if impl == "pallas":
-            from ..ops.silhouette_pallas import soft_silhouette_pallas
+            # Fused kernel: the hard z-buffer mask rides along with the soft
+            # mass at no extra raster cost, so the logged IoU is the TRUE
+            # hard-raster IoU (reference losses.py:73-78), not a
+            # thresholded-soft proxy.
+            from ..ops.raster_pallas import rasterize_silhouette_pallas
 
-            soft = soft_silhouette_pallas(
+            frag, soft, ov = rasterize_silhouette_pallas(
                 vp, faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
                 max_faces=cfg.max_faces_per_tile,
             )
+            hard = (frag.pix_to_face >= 0).astype(jnp.float32)
+            return soft, hard, ov
         elif impl == "tiled":
             from ..ops.rasterize_tiled import soft_silhouette_tiled
 
@@ -92,20 +98,19 @@ def _sil_and_smooth(
             )
         else:
             soft = soft_silhouette(vp, faces, (s, s), sigma=cfg.sigma, face_chunk=cfg.face_chunk)
-        # Thresholded soft as the IoU metric proxy: a second (hard)
-        # rasterization per step only fed this logged scalar and roughly
-        # doubled the joint stage's raster cost.
+        # Thresholded soft as the IoU metric proxy on the non-fused paths
+        # (a second hard rasterization would roughly double raster cost).
         hard = jax.lax.stop_gradient((soft > 0.5).astype(jnp.float32))
-        return soft, hard
+        return soft, hard, jnp.zeros((), jnp.int32)
 
-    sil, hard = jax.vmap(render)(verts_t, K_rois)  # (B, S, S) each
+    sil, hard, ovs = jax.vmap(render)(verts_t, K_rois)  # (B, S, S) masks
     image = keep_masks * sil
     # losses.py:66-78: sum of squared residuals over the whole batch,
     # normalized by keep.sum(), then by num_frames.
     l_sil = jnp.sum((image - ref_masks) ** 2) / keep_masks.sum() / verts_t.shape[0]
     l_smooth = jnp.mean((verts_t[1:] - verts_t[:-1]) ** 2)  # losses.py:80-84
     iou = batch_mask_iou(keep_masks * hard, ref_masks).mean()
-    return l_sil, l_smooth, iou
+    return l_sil, l_smooth, iou, ovs.max()
 
 
 def joint_optimize(
@@ -162,6 +167,14 @@ def joint_optimize(
     history = {
         k: jnp.concatenate([h[k] for h in hists]) for k in hists[0]
     }
+    max_ov = int(np.asarray(history["bin_overflow"]).max()) if len(history["bin_overflow"]) else 0
+    if max_ov > 0:
+        print(
+            f"WARNING: tile-bin overflow DURING joint optimization (max"
+            f" {max_ov} face-tile pairs dropped in a step) — raise"
+            " system.max_faces_per_tile or set use_tiled: false",
+            flush=True,
+        )
     return JointResult(result.rot6d, result.translations, result.scale, history)
 
 
@@ -183,11 +196,11 @@ def _joint_launch(
     keep_masks = (target_masks >= 0).astype(jnp.float32)
 
     def loss_fn(p):
-        l_sil, l_smooth, iou = _sil_and_smooth(
+        l_sil, l_smooth, iou, ov = _sil_and_smooth(
             p, verts, faces, K_rois, ref_masks, keep_masks, cfg
         )
         total = cfg.lw_sil_obj * l_sil + cfg.lw_smooth_obj * l_smooth
-        return total, (l_sil, l_smooth, iou)
+        return total, (l_sil, l_smooth, iou, ov)
 
     labels = {"rot6d": "rot", "trans": "other", "scale": "other" if cfg.optimize_object_scale else "frozen"}
     opt = optax.multi_transform(
@@ -210,7 +223,7 @@ def _joint_launch(
 
     def step(i, carry):
         params, opt_state, hist = carry
-        (total, (l_sil, l_smooth, iou)), grads = jax.value_and_grad(
+        (total, (l_sil, l_smooth, iou, ov)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
@@ -220,11 +233,12 @@ def _joint_launch(
             "loss_sil_obj": hist["loss_sil_obj"].at[i].set(l_sil),
             "loss_smooth_obj": hist["loss_smooth_obj"].at[i].set(l_smooth),
             "iou_object": hist["iou_object"].at[i].set(iou),
+            "bin_overflow": hist["bin_overflow"].at[i].set(ov.astype(jnp.float32)),
         }
         return params, opt_state, hist
 
     t = cfg.num_iterations
-    hist0 = {k: jnp.zeros((t,)) for k in ["loss", "loss_sil_obj", "loss_smooth_obj", "iou_object"]}
+    hist0 = {k: jnp.zeros((t,)) for k in ["loss", "loss_sil_obj", "loss_smooth_obj", "iou_object", "bin_overflow"]}
     params, opt_state, hist = jax.lax.fori_loop(0, t, step, (params, opt_state, hist0))
     return (
         JointResult(params["rot6d"], params["trans"], jnp.abs(params["scale"]), hist),

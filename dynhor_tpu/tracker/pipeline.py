@@ -208,6 +208,7 @@ def track_sequence(
         bbox_expansion=float(sysc["bbox_expansion"]),
         view_chunk=int(pc["view_chunk"]),
         face_chunk=int(sysc["face_chunk"]),
+        max_faces_per_tile=int(pc.get("max_faces_per_tile", 1280)),
         grid=None if config.get("random_render", True) else tuple(pc["grid"]),
     )
     key = jax.random.PRNGKey(int(pc.get("seed", 0)))

@@ -57,6 +57,12 @@ class PriorConfig:
     bbox_expansion: float = 0.3  # constants.py:3
     view_chunk: int = 25
     face_chunk: int = 512
+    # Per-tile face cap for the prior raster.  The object fills ~60% of the
+    # window, so dense tiles hold ~700-800 candidates at 16-px tiles
+    # (measured on the shoes mesh); 1280 leaves real headroom.  Overflow is
+    # surfaced by prior_scores_and_rotations and warned on by the pipeline
+    # (silently dropped faces corrupt prior images AND their DINO scores).
+    max_faces_per_tile: int = 1280
     window: int | None = None  # auto from geometry if None
     grid: tuple[int, int, int] | None = None  # (azimuth, elevation, roll)
     # DINO compute dtype for prior/frame feature extraction (forward-only,
@@ -141,19 +147,32 @@ def _render_one_view(
     K_win: Array,
     window: int,
     face_chunk: int,
+    max_faces: int = 1280,
 ):
-    """Render one prior view in the window; returns (rgba (S,S,4), zbuf)."""
-    from ..ops.rasterize_tiled import rasterize_tiled
+    """Render one prior view in the window.
 
+    Returns (rgba (S,S,4), zbuf, overflow () int32) — overflow counts
+    face-tile pairs dropped by the raster's static per-tile cap; nonzero
+    means the prior image (and every DINO score derived from it) is
+    corrupted, so callers must surface it."""
     verts_cam = verts @ R_cv.T + t_cv
     vn = rz.compute_vertex_normals(verts_cam, faces)
     vp = rz.project_perspective(verts_cam, K_win)
-    # Per-tile cap sized for the prior-view regime (object ~0.6 of the
-    # window; headroom over the measured worst tile — bin overflow would
-    # silently corrupt prior images).
-    frag = rasterize_tiled(vp, faces, (window, window), max_faces=max(face_chunk, 768))
+    if jax.default_backend() == "tpu":
+        from ..ops.raster_pallas import rasterize_silhouette_pallas
+
+        frag, _, overflow = rasterize_silhouette_pallas(
+            vp, faces, (window, window), max_faces=max_faces
+        )
+    else:
+        from ..ops.rasterize_tiled import bin_faces, rasterize_tiled
+
+        frag = rasterize_tiled(vp, faces, (window, window), max_faces=max_faces)
+        overflow = bin_faces(
+            vp, faces, (window, window), max_faces=max_faces, margin=0.0
+        ).overflow
     img = phong_shade(frag, faces, verts_cam, vn, face_uvs, texture, default_lights())
-    return img, frag.zbuf
+    return img, frag.zbuf, overflow
 
 
 def _crop_view(rgba: Array, crop_size: int, bbox_expansion: float):
@@ -253,23 +272,93 @@ def prior_scores_and_rotations(
         ) - jnp.einsum("nij,j->ni", R_chunk, center)
 
         def one(Rc, tc):
-            rgba, _ = _render_one_view(
-                verts, faces, face_uvs, texture, Rc, tc, K_win, window, cfg.face_chunk
+            rgba, _, ov = _render_one_view(
+                verts, faces, face_uvs, texture, Rc, tc, K_win, window,
+                cfg.face_chunk, cfg.max_faces_per_tile,
             )
             crop_img, _, _ = _crop_view(rgba, cfg.crop_size, cfg.bbox_expansion)
-            return crop_img
+            return crop_img, ov
 
-        crops = jax.vmap(one)(R_chunk, t)  # (C, 3, S, S)
+        crops, ovs = jax.vmap(one)(R_chunk, t)  # (C, 3, S, S), (C,)
         feats = _dino_feats_of_crops(
             dino_params, dino_cfg, crops, cfg.dino_dtype
         )  # (C, P, D)
         sim = jnp.einsum("fpd,cpd->fcp", gt_feats, feats)  # cosine per token
         masked = jnp.einsum("fcp,fp->fc", sim, cos_masks)
-        return masked / cos_sum[:, None]  # (F, C)
+        return masked / cos_sum[:, None], ovs.max()  # (F, C), ()
 
-    scores = jax.lax.map(score_chunk, Rs)  # (n_chunks, F, C)
+    scores, ovs = jax.lax.map(score_chunk, Rs)  # (n_chunks, F, C), (n_chunks,)
     scores = jnp.moveaxis(scores, 0, 1).reshape(gt_feats.shape[0], -1)[:, :n]
-    return scores
+    return scores, ovs.max()
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tile", "margin", "chunk"))
+def _max_tile_counts_chunk(
+    verts, faces, R_chunk, t_chunk, K_win, window: int, tile: int = 16,
+    margin: float = 3.0, chunk: int = 0,
+):
+    """Max per-tile candidate-face count over a chunk of views (no top_k)."""
+    from ..ops.rasterize_tiled import face_screen_bboxes
+
+    th = tw = -(-window // tile)
+    ty = jnp.arange(th) * tile
+    tx = jnp.arange(tw) * tile
+
+    def one(Rc, tc):
+        vp = rz.project_perspective(verts @ Rc.T + tc, K_win)
+        bboxes, vis = face_screen_bboxes(vp, faces)
+        x1 = bboxes[:, 0] - margin
+        y1 = bboxes[:, 1] - margin
+        x2 = bboxes[:, 2] + margin
+        y2 = bboxes[:, 3] + margin
+        ox = (x1[None, :] < (tx[:, None] + tile)) & (x2[None, :] > tx[:, None])
+        oy = (y1[None, :] < (ty[:, None] + tile)) & (y2[None, :] > ty[:, None])
+        counts = jnp.einsum(
+            "af,bf->ab", oy.astype(jnp.float32), (ox & vis[None, :]).astype(jnp.float32)
+        )  # (Ty, Tx) per-tile candidate counts via one MXU matmul
+        return counts.max()
+
+    return jax.lax.map(lambda rt: one(*rt), (R_chunk, t_chunk)).max()
+
+
+def required_prior_cap(
+    verts, faces, view_rotations, cfg: "PriorConfig", window: int,
+    distance, center, chunk: int = 500, headroom: float = 1.05,
+) -> int:
+    """Smallest safe max_faces_per_tile for THESE views (rounded up to 128).
+
+    Degenerate (edge-on) views can pack far more faces into one tile than
+    any fixed default; counting candidates per tile for every view (cheap —
+    one fused jit, no compaction) lets the scoring pipeline compile ONCE
+    with a sufficient cap instead of overflow-and-retry.
+    """
+    K_full = prior_camera(cfg)
+    off_x = (cfg.render_w - window) / 2.0
+    off_y = (cfg.render_h - window) / 2.0
+    K_win = K_full - jnp.array(
+        [[0.0, 0.0, off_x], [0.0, 0.0, off_y], [0.0, 0.0, 0.0]], jnp.float32
+    )
+    n = view_rotations.shape[0]
+    pad = (-n) % chunk
+    Rs = jnp.concatenate(
+        [view_rotations, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))]
+    ) if pad else view_rotations
+    ts = jnp.concatenate(
+        [jnp.zeros((Rs.shape[0], 2)), jnp.full((Rs.shape[0], 1), distance)], axis=1
+    ) - jnp.einsum("nij,j->ni", Rs, jnp.asarray(center))
+    worst = 0.0
+    from ..utils.retry import retry_on_device_error
+
+    for i in range(0, Rs.shape[0], chunk):
+        c = retry_on_device_error(
+            lambda i=i: jax.block_until_ready(_max_tile_counts_chunk(
+                verts, faces, Rs[i : i + chunk], ts[i : i + chunk], K_win, window
+            )),
+            tag="prior-cap-count",
+        )
+        worst = max(worst, float(c))
+    cap = int(-(-worst * headroom // 128) * 128)
+    return max(128, min(cap, int(faces.shape[0])))
 
 
 def prior_scores_batched(
@@ -306,16 +395,48 @@ def prior_scores_batched(
         )
     from ..utils.retry import retry_on_device_error
 
-    def one_slice(i):
-        s = prior_scores_and_rotations(
+    def one_slice(i, cfg_l):
+        s, ov = prior_scores_and_rotations(
             dino_params, dino_cfg, verts, faces, face_uvs, texture,
-            view_rotations[i : i + host_batch], gt_feats, cos_masks, cfg, window,
+            view_rotations[i : i + host_batch], gt_feats, cos_masks, cfg_l, window,
         )
-        return jax.block_until_ready(s)
+        return jax.block_until_ready((s, ov))
 
-    outs = []
-    for i in range(0, n + pad, host_batch):
-        outs.append(retry_on_device_error(one_slice, i, tag="prior-scoring"))
+    # Degenerate (edge-on) views can pack more faces into one tile than any
+    # fixed cap; count candidates per tile across ALL views first (cheap, no
+    # compaction) so scoring compiles once with a sufficient cap.  The
+    # overflow-retry loop below remains as a backstop.
+    f_total = int(faces.shape[0])
+    radius, center = mesh_radius_center(verts)
+    cap = required_prior_cap(
+        verts, faces, view_rotations, cfg, window,
+        float(cfg.distance_scale * radius), center,
+    )
+    if cap != cfg.max_faces_per_tile:
+        print(f"prior rendering: per-tile face cap {cap} (counted)", flush=True)
+    cfg_l = dataclasses.replace(cfg, max_faces_per_tile=cap)
+    while True:
+        outs = []
+        max_ov = 0
+        for i in range(0, n + pad, host_batch):
+            s, ov = retry_on_device_error(one_slice, i, cfg_l, tag="prior-scoring")
+            outs.append(s)
+            max_ov = max(max_ov, int(ov))
+        if max_ov == 0 or cfg_l.max_faces_per_tile >= f_total:
+            break
+        new_cap = min(cfg_l.max_faces_per_tile * 2, f_total)
+        print(
+            f"prior rendering: tile-bin overflow (max {max_ov} dropped) —"
+            f" rerunning all views at max_faces_per_tile={new_cap}",
+            flush=True,
+        )
+        cfg_l = dataclasses.replace(cfg_l, max_faces_per_tile=new_cap)
+    if max_ov > 0:
+        print(
+            f"WARNING: tile-bin overflow in prior rendering persists at the"
+            f" full-mesh cap ({max_ov} dropped) — scores may be corrupted",
+            flush=True,
+        )
     return jnp.concatenate(outs, axis=1)[:, :n]
 
 

@@ -106,8 +106,11 @@ def _frame_loss(
     dino_params: dict[str, Any] | None,
     dino_cfg: dino_mod.DinoConfig | None,
     cfg: RefineConfig,
-) -> tuple[Array, Array]:
-    """Loss of ONE frame given (3,2) rot6d / (1,3) trans. Returns (loss, iou)."""
+) -> tuple[Array, Array, Array]:
+    """Loss of ONE frame given (3,2) rot6d / (1,3) trans.
+
+    Returns (loss, iou, overflow) — overflow is the tile-bin drop count
+    (always 0 on the non-fused paths; see ops/raster_pallas.py)."""
     s = cfg.crop_size
     R = G.rot6d_to_matrix(rot6d[None])[0]
     verts_t = mesh.verts @ R + trans[0]  # row convention (camera space)
@@ -116,14 +119,6 @@ def _frame_loss(
     keep_mask = (target_mask >= 0).astype(jnp.float32)
 
     vp = rz.project_perspective(verts_t, K_roi)
-    if cfg.use_tiled:
-        frag = rasterize_tiled(
-            vp, mesh.faces, (s, s), tile=cfg.tile_size,
-            max_faces=cfg.max_faces_per_tile,
-        )
-    else:
-        frag = rz.rasterize(vp, mesh.faces, (s, s), face_chunk=cfg.face_chunk)
-    hard = (frag.pix_to_face >= 0).astype(jnp.float32)
     # Pure-soft silhouette as the optimization objective: a consistent
     # (value, gradient) pair keeps Adam honest; the linear-distance sigmoid
     # approximates true antialiased coverage, so the soft optimum coincides
@@ -136,22 +131,38 @@ def _frame_loss(
             if cfg.use_tiled and jax.default_backend() == "tpu"
             else ("tiled" if cfg.use_tiled else "dense")
         )
+    overflow = jnp.zeros((), jnp.int32)
     if impl == "pallas":
-        from ..ops.silhouette_pallas import soft_silhouette_pallas
+        # One binning + one fused kernel for hard raster AND soft mass
+        # (ops/raster_pallas.py) — the separate-raster path binned twice
+        # and streamed (tiles x pixels x faces) through HBM.
+        from ..ops.raster_pallas import rasterize_silhouette_pallas
 
-        soft = soft_silhouette_pallas(
+        frag, soft, overflow = rasterize_silhouette_pallas(
             vp, mesh.faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
             max_faces=cfg.max_faces_per_tile,
         )
     elif impl == "tiled":
+        frag = rasterize_tiled(
+            vp, mesh.faces, (s, s), tile=cfg.tile_size,
+            max_faces=cfg.max_faces_per_tile,
+        )
         soft = soft_silhouette_tiled(
             vp, mesh.faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
             max_faces=cfg.max_faces_per_tile,
         )
     else:
+        if cfg.use_tiled:
+            frag = rasterize_tiled(
+                vp, mesh.faces, (s, s), tile=cfg.tile_size,
+                max_faces=cfg.max_faces_per_tile,
+            )
+        else:
+            frag = rz.rasterize(vp, mesh.faces, (s, s), face_chunk=cfg.face_chunk)
         soft = soft_silhouette(
             vp, mesh.faces, (s, s), sigma=cfg.sigma, face_chunk=cfg.face_chunk
         )
+    hard = (frag.pix_to_face >= 0).astype(jnp.float32)
     render_mask = keep_mask * soft
     loss = 1.0 - batch_mask_iou(render_mask, ref_mask)
     iou = batch_mask_iou(keep_mask * hard, ref_mask)
@@ -186,7 +197,7 @@ def _frame_loss(
         sem = (ref_small * (1.0 - cos)).sum() / (ref_small.sum() + 1e-6)
         loss = loss + cfg.lw_sem * sem
 
-    return loss, jax.lax.stop_gradient(iou)
+    return loss, jax.lax.stop_gradient(iou), overflow
 
 
 class RefineResult(NamedTuple):
@@ -194,6 +205,9 @@ class RefineResult(NamedTuple):
     translations: Array  # (B, 1, 3)
     final_loss: Array  # (B,)
     final_iou: Array  # (B,)
+    # Max tile-bin drop count seen over ALL frames and iterations of the
+    # launch (0 = every raster was exact; see ops/raster_pallas.py).
+    max_overflow: Array = jnp.zeros((), jnp.int32)
 
 
 def refine_poses(
@@ -235,13 +249,22 @@ def refine_poses(
         jax.block_until_ready(r.rot6d)
         return r, st2
 
+    max_overflow = 0
     for _ in range(max(n_launches, 1)):
         it = min(chunk, total - done) if total else 0
         cfg_l = dataclasses.replace(cfg, num_iterations=it)
         result, state = retry_on_device_error(one_launch, cfg_l, state, tag="refine")
+        max_overflow = max(max_overflow, int(result.max_overflow))
         done += it
         if done >= total:
             break
+    if max_overflow > 0:
+        print(
+            f"WARNING: tile-bin overflow DURING refinement (max {max_overflow}"
+            " face-tile pairs dropped in a step) — raise"
+            " system.max_faces_per_tile or set use_tiled: false",
+            flush=True,
+        )
     return result
 
 
@@ -270,11 +293,11 @@ def _refine_launch(
                 r6, t, mesh, tm, gf, K, dino_params, dino_cfg, cfg
             )
 
-        losses, ious = jax.vmap(one)(
+        losses, ious, overflows = jax.vmap(one)(
             p["rot6d"], p["trans"], targets.target_masks, targets.gt_feats,
             targets.K_rois,
         )
-        return losses.sum(), (losses, ious)
+        return losses.sum(), (losses, ious, overflows.max())
 
     opt = optax.adam(cfg.lr)
     if carry_state is None:
@@ -287,16 +310,21 @@ def _refine_launch(
         params, opt_state = carry_state
 
     def step(_, carry):
-        params, opt_state, _, _ = carry
-        (_, (losses, ious)), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        params, opt_state, _, _, max_ov = carry
+        (_, (losses, ious, ov)), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, losses, ious
+        return params, opt_state, losses, ious, jnp.maximum(max_ov, ov)
 
     b = rot_init_row.shape[0]
-    init = (params, opt_state, jnp.zeros((b,)), jnp.zeros((b,)))
-    params, opt_state, losses, ious = jax.lax.fori_loop(0, cfg.num_iterations, step, init)
+    init = (
+        params, opt_state, jnp.zeros((b,)), jnp.zeros((b,)),
+        jnp.zeros((), jnp.int32),
+    )
+    params, opt_state, losses, ious, max_ov = jax.lax.fori_loop(
+        0, cfg.num_iterations, step, init
+    )
     return (
-        RefineResult(params["rot6d"], params["trans"], losses, ious),
+        RefineResult(params["rot6d"], params["trans"], losses, ious, max_ov),
         (params, opt_state),
     )

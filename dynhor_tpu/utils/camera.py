@@ -29,17 +29,26 @@ def batch_proj2d(verts: Array, K: Array) -> Array:
     return hom[..., :2] / hom[..., 2:]
 
 
-def project_ndc(verts_cam: Array, K01: Array, eps: float = 1e-9) -> Array:
+def project_ndc(
+    verts_cam: Array,
+    K01: Array,
+    eps: float = 1e-9,
+    dist_coeffs: Array | None = None,
+) -> Array:
     """Project camera-space verts with a [0,1]-normalized K to nr-style NDC.
 
     Matches neural_renderer's projection as used by the reference with
-    ``orig_size=1`` and zero distortion (ObjTracker/utils/camera.py:26-63,
-    pose_initializtion.py:126-132): perspective divide, K in [0,1] units,
-    y flip, then map to [-1, 1].
+    ``orig_size=1`` (ObjTracker/utils/camera.py:26-63,
+    pose_initializtion.py:126-132): perspective divide, optional
+    radial/tangential lens distortion, K in [0,1] units, y flip, then map
+    to [-1, 1].
 
     Args:
       verts_cam: (..., V, 3).
       K01: (..., 3, 3) intrinsics normalized so the image spans [0, 1].
+      dist_coeffs: optional (..., 5) OpenCV-style (k1, k2, p1, p2, k3)
+        distortion coefficients (reference camera.py:45-56; it runs with
+        all-zero coefficients in the released pipeline — SURVEY.md §2 C9).
 
     Returns: (..., V, 3) — (u, v) in [-1, 1] (y up) and camera-space depth z.
     """
@@ -48,6 +57,16 @@ def project_ndc(verts_cam: Array, K01: Array, eps: float = 1e-9) -> Array:
     z = verts_cam[..., 2]
     x_ = x / (z + eps)
     y_ = y / (z + eps)
+    if dist_coeffs is not None:
+        d = jnp.asarray(dist_coeffs, verts_cam.dtype)
+        k1, k2 = d[..., 0:1], d[..., 1:2]
+        p1, p2 = d[..., 2:3], d[..., 3:4]
+        k3 = d[..., 4:5]
+        r2 = x_ * x_ + y_ * y_
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        x_d = x_ * radial + 2.0 * p1 * x_ * y_ + p2 * (r2 + 2.0 * x_ * x_)
+        y_d = y_ * radial + p1 * (r2 + 2.0 * y_ * y_) + 2.0 * p2 * x_ * y_
+        x_, y_ = x_d, y_d
     ones = jnp.ones_like(z)
     v3 = jnp.stack([x_, y_, ones], axis=-1)
     uv1 = jnp.einsum("...ij,...vj->...vi", K01, v3)

@@ -20,6 +20,8 @@ from dynhor_tpu.io.config import experiment_dir, load_config
 
 
 def main() -> None:
+    from dynhor_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str, required=True)
     parser.add_argument("--exps_root", type=str, default="exps")

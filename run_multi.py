@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main() -> None:
+    from dynhor_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_paths", type=str, nargs="+", required=True)
     parser.add_argument("--exps_root", type=str, default="exps")

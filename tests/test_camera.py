@@ -96,3 +96,37 @@ def test_intrinsics_from_image():
     K = np.asarray(C.intrinsics_from_image(480, 640))
     np.testing.assert_allclose(K[0, 0], 1.2 * 480)
     np.testing.assert_allclose(K[:2, 2], [320, 240])
+
+
+def test_project_ndc_distortion_matches_reference_formula():
+    # Reference projection with nonzero k1/k2/p1/p2/k3
+    # (ObjTracker/utils/camera.py:38-56), transcribed in numpy.
+    rng = np.random.default_rng(0)
+    pts = np.stack(
+        [rng.uniform(-0.3, 0.3, 20), rng.uniform(-0.3, 0.3, 20), rng.uniform(1.5, 3.0, 20)],
+        axis=-1,
+    ).astype(np.float32)[None]
+    K01 = np.array([[[1.1, 0, 0.5], [0, 1.1, 0.45], [0, 0, 1.0]]], np.float32)
+    dist = np.array([[0.05, -0.02, 0.01, -0.005, 0.003]], np.float32)
+
+    eps = 1e-9
+    x_ = pts[..., 0] / (pts[..., 2] + eps)
+    y_ = pts[..., 1] / (pts[..., 2] + eps)
+    k1, k2, p1, p2, k3 = dist[0]
+    r2 = x_**2 + y_**2
+    radial = 1 + k1 * r2 + k2 * r2**2 + k3 * r2**3
+    x__ = x_ * radial + 2 * p1 * x_ * y_ + p2 * (r2 + 2 * x_**2)
+    y__ = y_ * radial + p1 * (r2 + 2 * y_**2) + 2 * p2 * x_ * y_
+    uv1 = np.einsum("bij,bvj->bvi", K01, np.stack([x__, y__, np.ones_like(x__)], -1))
+    u = 2 * (uv1[..., 0] - 0.5)
+    v = 2 * ((1.0 - uv1[..., 1]) - 0.5)
+    expect = np.stack([u, v, pts[..., 2]], axis=-1)
+
+    got = np.asarray(C.project_ndc(jnp.asarray(pts), jnp.asarray(K01), dist_coeffs=jnp.asarray(dist)))
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+    # Zero coefficients == no-distortion path.
+    zero = np.asarray(
+        C.project_ndc(jnp.asarray(pts), jnp.asarray(K01), dist_coeffs=jnp.zeros((1, 5)))
+    )
+    plain = np.asarray(C.project_ndc(jnp.asarray(pts), jnp.asarray(K01)))
+    np.testing.assert_allclose(zero, plain, atol=1e-6)

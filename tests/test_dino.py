@@ -137,3 +137,42 @@ def test_extract_features_shape_and_grad():
 
 def test_feat_size_matches_reference():
     assert D.DinoConfig().feat_size == 37  # 518 // 14, dino.py:16
+
+
+@pytest.mark.slow
+def test_matches_transformers_full_b14_scale():
+    """Full ViT-B/14 dims at the production 518^2 input (VERDICT r1 #4).
+
+    A randomly-initialized torch dinov2-B (HF architecture, true dims:
+    768x12x12, layerscale, 37^2 pos grid after interpolation) must convert
+    and match token-for-token — this exercises the real qkv packing,
+    layerscale gammas and pos-embed interpolation at scale, which the toy
+    64-dim test cannot.
+    """
+    from transformers import Dinov2Config, Dinov2Model
+
+    cfg_t = Dinov2Config(
+        hidden_size=768,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        intermediate_size=3072,
+        patch_size=14,
+        image_size=518,
+        layerscale_value=1.0,
+    )
+    torch.manual_seed(0)
+    model = Dinov2Model(cfg_t)
+    model.eval()
+
+    cfg = D.DinoConfig()  # production defaults: ViT-B/14 @ 518 -> 37^2 x 768
+    params, cfg = D.convert_torch_state_dict(model.state_dict(), cfg)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    assert n_params > 80_000_000  # the real 86M-param backbone
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, 3, 518, 518).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(img)).last_hidden_state.numpy()[:, 1:]
+    got = np.asarray(D.forward_tokens(params, jnp.asarray(img), cfg))
+    assert got.shape == (1, 37 * 37, 768)
+    np.testing.assert_allclose(got, want, atol=1e-4)

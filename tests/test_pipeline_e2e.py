@@ -171,7 +171,9 @@ def test_track_sequence_end_to_end(demo_dir, tmp_path, parallel):
     eye = np.einsum("bij,bkj->bik", res.rotations_row, res.rotations_row)
     np.testing.assert_allclose(eye, np.tile(np.eye(3), (FRAMES, 1, 1)), atol=1e-4)
     assert np.isfinite(res.history["loss"]).all()
-    assert set(res.history) == {"loss", "loss_sil_obj", "loss_smooth_obj", "iou_object"}
+    assert set(res.history) == {
+        "loss", "loss_sil_obj", "loss_smooth_obj", "iou_object", "bin_overflow",
+    }
     # With silhouette supervision the joint stage should fit reasonably.
     assert res.history["iou_object"][-1] > 0.5
 
@@ -194,3 +196,23 @@ def test_visualizer_overlay(demo_dir):
     assert out.shape == (H, W, 3)
     assert np.isfinite(out).all()
     assert not np.allclose(out, img)  # something was drawn
+
+
+def test_track_sequence_grid_render_mode(demo_dir):
+    # Grid prior mode (reference `random_render: false` -> azimuth x
+    # elevation x roll grid, run.py:134-136) through the full pipeline.
+    cfg = _tiny_config(demo_dir)
+    cfg["random_render"] = False
+    cfg["system"]["prior"]["grid"] = [4, 3, 2]  # (4*3+2)*2 = 28 views
+    cfg["system"]["init_num_iterations"] = 5
+    cfg["system"]["joint_num_iterations"] = 5
+    seq = PL.load_sequence(str(demo_dir))
+    ann = PL.process_frames(seq, crop_size=64)
+    mesh = PL.load_mesh(str(demo_dir / "box.obj"), normalize=False)
+    dparams, dcfg = _tiny_dino()
+    res = PL.track_sequence(cfg, seq, ann, mesh, dino_params=dparams, dino_cfg=dcfg)
+    assert res.rotations_row.shape == (FRAMES, 3, 3)
+    # Every selected index addresses the grid's view set.
+    n_grid = (4 * 3 + 2) * 2
+    assert (res.selected_idx >= 0).all() and (res.selected_idx < n_grid).all()
+    assert np.isfinite(res.history["loss"]).all()

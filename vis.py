@@ -22,6 +22,8 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    from dynhor_tpu.utils.compcache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config_path", type=str, required=True)
     parser.add_argument("--exps_root", type=str, default="exps")
