@@ -76,8 +76,21 @@ def main() -> None:
         target_masks=targets_m, gt_feats=gt_feats, K_rois=jnp.tile(K, (FRAMES, 1, 1))
     )
 
+    # Counted per-tile face cap (as the pipeline does): fixed caps silently
+    # drop faces at edge-on poses and corrupt the very rasters being timed.
+    from dynhor_tpu.ops.rasterize_tiled import max_tile_load
+
+    def _load(R_row, t):
+        vp = RZ.project_perspective(verts @ R_row + t, K)
+        return max_tile_load(vp, mesh.faces, (CROP, CROP))
+
+    worst = int(jax.vmap(_load)(rot, trans).max())
+    cap = max(256, min(-(-int(worst * 1.5) // 128) * 128, int(mesh.faces.shape[0])))
+    print(f"[bench] per-tile face cap {cap} (counted)", file=sys.stderr)
+
     cfg = RF.RefineConfig(
-        num_iterations=ITERS, crop_size=CROP, mode="fine", face_chunk=512
+        num_iterations=ITERS, crop_size=CROP, mode="fine", face_chunk=512,
+        max_faces_per_tile=cap,
     )
 
     t0 = time.time()

@@ -146,7 +146,10 @@ def _interp_pos_embed(pos_embed: Array, grid0: int, gh: int, gw: int) -> Array:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "remat"))
 def forward_tokens(
-    params: dict[str, Any], images: Array, cfg: DinoConfig = DinoConfig(), remat: bool = True
+    params: dict[str, Any],
+    images: Array,
+    cfg: DinoConfig = DinoConfig(),
+    remat: bool | str = True,
 ) -> Array:
     """ViT forward; returns final-layernormed PATCH tokens (B, N, D).
 
@@ -171,7 +174,14 @@ def forward_tokens(
     def body(x, blk_params):
         return _block(x, blk_params, cfg.num_heads, cfg.layer_norm_eps), None
 
-    if remat:
+    if remat == "dots":
+        # Per-block remat with matmul outputs saved: the backward recomputes
+        # only elementwise/softmax work — ~the memory of full remat during
+        # the scan body, most of the speed of no-remat.
+        body = jax.checkpoint(
+            body, policy=jax.checkpoint_policies.checkpoint_dots
+        )
+    elif remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = _layer_norm(x, params["norm_scale"], params["norm_bias"], cfg.layer_norm_eps)

@@ -48,31 +48,49 @@ _FWD_FC = 512  # face-chunk inside the fused fwd kernel: (P x M) temporaries
 # at M=2560, window 176); mass/zmin/argmin all reduce across face chunks.
 
 
-def _tile_mass_and_depth(
-    rows: Array, px: Array, py: Array, sigma: float, dist_mode: str, znear: float
+def _tile_mass_and_depth_ref(
+    rows_ref, t: int, count, px: Array, py: Array, sigma: float,
+    dist_mode: str, znear: float,
 ):
-    """Per-tile fused pass, chunked over the face axis.
+    """Per-tile fused pass, face axis chunked AND bounded by the tile's
+    true candidate count.
+
+    ``bin_faces`` packs valid faces as a contiguous low-slot prefix, so a
+    while-style loop over ``cdiv(count, FC)`` chunks skips the padding
+    entirely — per-tile compute scales with the tile's actual load, not
+    with the global worst-case cap (edge-on poses force caps several times
+    the typical load; see tracker/pipeline._counted_refine_cap).
 
     Args:
-      rows: (16, M) packed face rows (layout in module docstring).
-      px, py: (P, 1) pixel-center coordinates.
+      rows_ref: (TB, 16, M) VMEM ref; t: static tile index in the block.
+      count: traced () int32 — valid faces in this tile.
 
     Returns: (mass (P,), zmin (P,), jbest (P,) int32 slot index).
     """
-    m = rows.shape[1]
+    m = rows_ref.shape[2]
     p = px.shape[0]
-    mass = jnp.zeros((p,), jnp.float32)
-    zmin = jnp.full((p,), _BIG_Z, jnp.float32)
-    jbest = jnp.zeros((p,), jnp.int32)
-    for c in range(0, m, _FWD_FC):
+    fc = min(_FWD_FC, m)
+    n_chunks = pl.cdiv(count, fc)
+
+    def body(ci, carry):
+        mass, zmin, jbest = carry
+        off = pl.multiple_of(ci * fc, fc)
+        chunk = rows_ref[t, :, pl.ds(off, fc)]
         mass_c, zmin_c, jbest_c = _tile_mass_and_depth_chunk(
-            rows[:, c : c + _FWD_FC], px, py, sigma, dist_mode, znear
+            chunk, px, py, sigma, dist_mode, znear
         )
         mass = mass + mass_c
         better = zmin_c < zmin  # strict: global argmin keeps the FIRST slot
         zmin = jnp.where(better, zmin_c, zmin)
-        jbest = jnp.where(better, jbest_c + c, jbest)
-    return mass, zmin, jbest
+        jbest = jnp.where(better, jbest_c + off, jbest)
+        return mass, zmin, jbest
+
+    init = (
+        jnp.zeros((p,), jnp.float32),
+        jnp.full((p,), _BIG_Z, jnp.float32),
+        jnp.zeros((p,), jnp.int32),
+    )
+    return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
 def _tile_mass_and_depth_chunk(
@@ -124,8 +142,8 @@ def _tile_mass_and_depth_chunk(
 
 
 def _fused_fwd_kernel(
-    rows_ref, mass_ref, zmin_ref, jbest_ref, *, tile: int, tiles_w: int,
-    sigma: float, dist_mode: str, znear: float,
+    counts_ref, rows_ref, mass_ref, zmin_ref, jbest_ref, *, tile: int,
+    tiles_w: int, sigma: float, dist_mode: str, znear: float,
 ):
     px, py = _pixel_coords(tile)
     i = pl.program_id(0)
@@ -133,8 +151,9 @@ def _fused_fwd_kernel(
         gidx = i * _TB + t
         ox = (jnp.mod(gidx, tiles_w) * tile).astype(jnp.float32)
         oy = ((gidx // tiles_w) * tile).astype(jnp.float32)
-        mass, zmin, jbest = _tile_mass_and_depth(
-            rows_ref[t], px + ox, py + oy, sigma, dist_mode, znear
+        mass, zmin, jbest = _tile_mass_and_depth_ref(
+            rows_ref, t, counts_ref[gidx, 0], px + ox, py + oy, sigma,
+            dist_mode, znear,
         )
         mass_ref[t, :] = mass
         zmin_ref[t, :] = zmin
@@ -142,8 +161,8 @@ def _fused_fwd_kernel(
 
 
 def _sil_bwd_kernel(
-    rows_ref, g_ref, drows_ref, *, tile: int, tiles_w: int, sigma: float,
-    dist_mode: str,
+    counts_ref, rows_ref, g_ref, drows_ref, *, tile: int, tiles_w: int,
+    sigma: float, dist_mode: str,
 ):
     # Analytic gradient of the (differentiable) mass only, chunked by 128
     # faces for VMEM headroom (silhouette_pallas._tile_mass_grad_analytic).
@@ -157,26 +176,33 @@ def _sil_bwd_kernel(
     g = g_ref[0].reshape(-1)[:p]
     m = rows_ref.shape[2]
     fc = 128  # m is padded to a multiple of 128 by the caller
-    for c in range(0, m, fc):
-        drows_ref[0, 0:8, c : c + fc] = _tile_mass_grad_analytic(
-            rows_ref[0, 0:8, c : c + fc], px + ox, py + oy, g[:, None],
+    drows_ref[:] = jnp.zeros_like(drows_ref)  # padding chunks stay zero
+    n_chunks = pl.cdiv(counts_ref[gidx, 0], fc)
+
+    def body(ci, _):
+        off = pl.multiple_of(ci * fc, fc)
+        drows_ref[0, 0:8, pl.ds(off, fc)] = _tile_mass_grad_analytic(
+            rows_ref[0, 0:8, pl.ds(off, fc)], px + ox, py + oy, g[:, None],
             sigma, dist_mode,
         )
-        drows_ref[0, 8:16, c : c + fc] = jnp.zeros((8, fc), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _fused_tiles(
-    rows: Array, tile: int, tiles_w: int, sigma: float, dist_mode: str, znear: float
+    rows: Array, counts: Array, tile: int, tiles_w: int, sigma: float,
+    dist_mode: str, znear: float,
 ):
-    return _fused_tiles_impl(rows, tile, tiles_w, sigma, dist_mode, znear)
+    return _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear)
 
 
-def _fused_tiles_impl(rows, tile, tiles_w, sigma, dist_mode, znear):
+def _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear):
     t, _, m = rows.shape
     p = tile * tile
     assert t % _TB == 0, "tile count must be padded to a multiple of _TB"
@@ -193,6 +219,9 @@ def _fused_tiles_impl(rows, tile, tiles_w, sigma, dist_mode, znear):
         ),
         grid=(t // _TB,),
         in_specs=[
+            # Full counts vector to every program (per-program (1,1) SMEM
+            # blocks violate the TPU block-shape rule).
+            pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((_TB, 16, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -201,16 +230,16 @@ def _fused_tiles_impl(rows, tile, tiles_w, sigma, dist_mode, znear):
             pl.BlockSpec((_TB, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=_interpret(),
-    )(rows)
+    )(counts.reshape(t, 1), rows)
 
 
-def _fused_tiles_fwd(rows, tile, tiles_w, sigma, dist_mode, znear):
-    out = _fused_tiles_impl(rows, tile, tiles_w, sigma, dist_mode, znear)
-    return out, (rows,)
+def _fused_tiles_fwd(rows, counts, tile, tiles_w, sigma, dist_mode, znear):
+    out = _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear)
+    return out, (rows, counts)
 
 
 def _fused_tiles_bwd(tile, tiles_w, sigma, dist_mode, znear, res, cts):
-    (rows,) = res
+    rows, counts = res
     g_mass, _, _ = cts  # zmin/jbest are hard outputs: zero cotangent path
     t, _, m = rows.shape
     p = tile * tile
@@ -228,13 +257,16 @@ def _fused_tiles_bwd(tile, tiles_w, sigma, dist_mode, znear, res, cts):
         out_shape=jax.ShapeDtypeStruct((t, 16, m), jnp.float32),
         grid=(t,),
         in_specs=[
+            pl.BlockSpec((t, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 16, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 16, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(rows, g_pad)
-    return (drows,)
+    )(counts.reshape(t, 1), rows, g_pad)
+    import numpy as _np
+
+    return (drows, _np.zeros(counts.shape, jax.dtypes.float0))
 
 
 _fused_tiles.defvjp(_fused_tiles_fwd, _fused_tiles_bwd)
@@ -273,36 +305,51 @@ def rasterize_silhouette_pallas(
     t_total, m = bins.indices.shape
     th, tw = -(-h // tile), -(-w // tile)
 
-    fv = verts_pix[faces[bins.indices.reshape(-1)]].reshape(t_total, m, 3, 3)
-    z_ok = (fv[..., 2] > znear).any(axis=-1)
-    vis = (bins.valid & z_ok).astype(jnp.float32)
-    zero = jnp.zeros_like(vis)
-    rows = jnp.stack(
+    # Pack per-FACE rows once (F-sized, cheap), then compact per tile with
+    # ONE contiguous row gather.  The naive verts_pix[faces[bins.indices]]
+    # is a chained gather evaluated per (tile, slot) — measured as expensive
+    # as the whole forward kernel at production caps.
+    fv_all = verts_pix[faces]  # (F, 3, 3)
+    z_ok_all = (fv_all[..., 2] > znear).any(axis=-1)
+    zero_f = jnp.zeros((faces.shape[0],), verts_pix.dtype)
+    rows_all = jnp.stack(
         [
-            fv[..., 0, 0], fv[..., 0, 1],
-            fv[..., 1, 0], fv[..., 1, 1],
-            fv[..., 2, 0], fv[..., 2, 1],
-            vis, zero,
-            fv[..., 0, 2], fv[..., 1, 2], fv[..., 2, 2],
-            zero, zero, zero, zero, zero,
+            fv_all[:, 0, 0], fv_all[:, 0, 1],
+            fv_all[:, 1, 0], fv_all[:, 1, 1],
+            fv_all[:, 2, 0], fv_all[:, 2, 1],
+            jax.lax.stop_gradient(z_ok_all.astype(verts_pix.dtype)),
+            zero_f,
+            jax.lax.stop_gradient(fv_all[:, 0, 2]),
+            jax.lax.stop_gradient(fv_all[:, 1, 2]),
+            jax.lax.stop_gradient(fv_all[:, 2, 2]),
+            zero_f, zero_f, zero_f, zero_f, zero_f,
         ],
-        axis=1,
-    )  # (T, 16, M)
-    # Only the xy rows are differentiable (soft mass); vis and z carry no
-    # gradient (hard visibility).
-    rows = rows.at[:, 6:].set(jax.lax.stop_gradient(rows[:, 6:]))
+        axis=-1,
+    )  # (F, 16): xy rows differentiable; vis/z hard (reference semantics)
+    rows = rows_all[bins.indices.reshape(-1)].reshape(t_total, m, 16)
+    rows = jnp.swapaxes(rows, 1, 2)  # (T, 16, M)
+    # Invalid (padding) slots must not contribute: zero their vis row.
+    rows = rows.at[:, 6, :].multiply(
+        jax.lax.stop_gradient(bins.valid.astype(verts_pix.dtype))
+    )
 
     pad_m = (-rows.shape[2]) % 128
     if pad_m:
         rows = jnp.concatenate(
             [rows, jnp.zeros(rows.shape[:2] + (pad_m,), rows.dtype)], axis=2
         )
+    # Per-tile valid-slot counts: bin_faces packs overlapping faces as a
+    # contiguous low-slot prefix, so the kernels loop only cdiv(count, FC)
+    # chunks per tile (compute scales with the tile's true load).
+    counts = bins.valid.sum(axis=1).astype(jnp.int32)  # (T,)
     pad_t = (-t_total) % _TB
     if pad_t:
         rows = jnp.concatenate(
             [rows, jnp.zeros((pad_t,) + rows.shape[1:], rows.dtype)], axis=0
         )
-    mass, zmin, jbest = _fused_tiles(rows, tile, tw, sigma, dist_mode, znear)
+        counts = jnp.concatenate([counts, jnp.zeros((pad_t,), jnp.int32)])
+    counts = jax.lax.stop_gradient(counts)
+    mass, zmin, jbest = _fused_tiles(rows, counts, tile, tw, sigma, dist_mode, znear)
     mass, zmin, jbest = mass[:t_total], zmin[:t_total], jbest[:t_total]
 
     sil = 1.0 - jnp.exp(-mass)

@@ -48,6 +48,11 @@ def face_screen_bboxes(verts_pix: Array, faces: Array, znear: float = 1e-2):
     lo = xy.min(axis=1)
     hi = xy.max(axis=1)
     vis = (fv[..., 2] > znear).any(axis=1)
+    # Exact point-faces (all three vertices identical — mesh-padding faces,
+    # see parallel/multiseq.pad_mesh and rasterize._pad_faces) can never
+    # cover a pixel; excluding them here keeps them out of the bins so they
+    # don't consume cap slots or inflate max_tile_load counts.
+    vis = vis & (hi > lo).any(axis=-1)
     return jnp.concatenate([lo, hi], axis=-1), vis
 
 
@@ -90,6 +95,36 @@ def bin_faces(
     indices = jnp.where(valid, -top_vals, 0).astype(jnp.int32)
     overflow = (overlap.sum(axis=1) - valid.sum(axis=1)).sum().astype(jnp.int32)
     return FaceBins(indices, valid, overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("image_size", "tile", "margin"))
+def max_tile_load(
+    verts_pix: Array,
+    faces: Array,
+    image_size: tuple[int, int],
+    tile: int = 16,
+    margin: float = 3.0,
+) -> Array:
+    """Max per-tile candidate-face count (no compaction — one MXU matmul).
+
+    Callers size ``max_faces`` from this (cap counting beats fixed caps:
+    edge-on poses can pack several thousand faces into one tile).
+    """
+    h, w = image_size
+    th, tw = -(-h // tile), -(-w // tile)
+    bboxes, vis = face_screen_bboxes(verts_pix, faces)
+    ty = jnp.arange(th) * tile
+    tx = jnp.arange(tw) * tile
+    x1 = bboxes[:, 0] - margin
+    y1 = bboxes[:, 1] - margin
+    x2 = bboxes[:, 2] + margin
+    y2 = bboxes[:, 3] + margin
+    ox = (x1[None, :] < (tx[:, None] + tile)) & (x2[None, :] > tx[:, None])
+    oy = (y1[None, :] < (ty[:, None] + tile)) & (y2[None, :] > ty[:, None])
+    counts = jnp.einsum(
+        "af,bf->ab", oy.astype(jnp.float32), (ox & vis[None, :]).astype(jnp.float32)
+    )
+    return counts.max().astype(jnp.int32)
 
 
 def _tile_grid(h: int, w: int, tile: int):

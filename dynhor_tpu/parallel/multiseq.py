@@ -90,7 +90,6 @@ def build_batch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("dino_cfg", "cfg"))
 def refine_poses_multi(
     batch: MultiSeqBatch,
     rot_init_row: Array,
@@ -98,45 +97,109 @@ def refine_poses_multi(
     dino_params,
     dino_cfg: dino_mod.DinoConfig | None,
     cfg: RF.RefineConfig = RF.RefineConfig(),
+    iters_per_launch: int = 25,
 ) -> RF.RefineResult:
     """Like tracker.refine.refine_poses, but vmapped over PER-FRAME meshes
     (the pooled multi-sequence batch).  The pooled frame axis is the shard
-    axis for multi-chip."""
+    axis for multi-chip.  Runs in host-side launches of
+    ``iters_per_launch`` steps with carried state + transient-fault retry
+    (monolithic multi-minute device programs trip some TPU runtimes'
+    watchdog — same structure as refine_poses)."""
+    import jax
+
+    from ..utils.retry import retry_on_device_error
+
+    total = cfg.num_iterations
+    chunk = max(min(iters_per_launch, total), 1)
+    n_launches = -(-total // chunk) if total else 0
+    state = None
+    result = None
+    done = 0
+    max_overflow = 0
+
+    def one_launch(cfg_l, st):
+        r, st2 = _multi_launch(
+            batch, rot_init_row, trans_init, dino_params, dino_cfg, cfg_l, st
+        )
+        jax.block_until_ready(r.rot6d)
+        return r, st2
+
+    for _ in range(max(n_launches, 1)):
+        it = min(chunk, total - done) if total else 0
+        cfg_l = dataclasses.replace(cfg, num_iterations=it)
+        result, state = retry_on_device_error(
+            one_launch, cfg_l, state, tag="multiseq-refine"
+        )
+        max_overflow = max(max_overflow, int(result.max_overflow))
+        done += it
+        if done >= total:
+            break
+    if max_overflow > 0:
+        print(
+            f"WARNING: tile-bin overflow DURING pooled refinement (max"
+            f" {max_overflow} face-tile pairs dropped in a step) — raise"
+            " max_faces_per_tile",
+            flush=True,
+        )
+    return result
+
+
+@functools.partial(jax.jit, static_argnames=("dino_cfg", "cfg"))
+def _multi_launch(
+    batch: MultiSeqBatch,
+    rot_init_row: Array,
+    trans_init: Array,
+    dino_params,
+    dino_cfg: dino_mod.DinoConfig | None,
+    cfg: RF.RefineConfig = RF.RefineConfig(),
+    carry_state=None,
+):
+    """One device launch of cfg.num_iterations pooled Adam steps."""
     import optax
 
     if trans_init.ndim == 2:
         trans_init = trans_init[:, None, :]
-    params = {
-        "rot6d": G.matrix_to_rot6d(rot_init_row),
-        "trans": trans_init.astype(jnp.float32),
-    }
 
     def one(r6, t, mv, mf, muv, mtex, tm, gf, K):
         mesh = RF.MeshArrays(verts=mv, faces=mf, face_uvs=muv, texture=mtex)
-        loss, iou, _ = RF._frame_loss(
-            r6, t, mesh, tm, gf, K, dino_params, dino_cfg, cfg
-        )
-        return loss, iou
+        return RF._frame_loss(r6, t, mesh, tm, gf, K, dino_params, dino_cfg, cfg)
 
     def total_loss(p):
-        losses, ious = jax.vmap(one)(
+        losses, ious, ovs = jax.vmap(one)(
             p["rot6d"], p["trans"], batch.mesh_verts, batch.mesh_faces,
             batch.mesh_uvs, batch.mesh_tex, batch.targets.target_masks,
             batch.targets.gt_feats, batch.targets.K_rois,
         )
-        return losses.sum(), (losses, ious)
+        return losses.sum(), (losses, ious, ovs.max())
 
     opt = optax.adam(cfg.lr)
-    opt_state = opt.init(params)
+    if carry_state is None:
+        params = {
+            "rot6d": G.matrix_to_rot6d(rot_init_row),
+            "trans": trans_init.astype(jnp.float32),
+        }
+        opt_state = opt.init(params)
+    else:
+        params, opt_state = carry_state
 
     def step(_, carry):
-        params, opt_state, _, _ = carry
-        (_, (losses, ious)), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        params, opt_state, _, _, max_ov = carry
+        (_, (losses, ious, ov)), grads = jax.value_and_grad(
+            total_loss, has_aux=True
+        )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, losses, ious
+        return params, opt_state, losses, ious, jnp.maximum(max_ov, ov)
 
     n = rot_init_row.shape[0]
-    init = (params, opt_state, jnp.zeros((n,)), jnp.zeros((n,)))
-    params, _, losses, ious = jax.lax.fori_loop(0, cfg.num_iterations, step, init)
-    return RF.RefineResult(params["rot6d"], params["trans"], losses, ious)
+    init = (
+        params, opt_state, jnp.zeros((n,)), jnp.zeros((n,)),
+        jnp.zeros((), jnp.int32),
+    )
+    params, opt_state, losses, ious, max_ov = jax.lax.fori_loop(
+        0, cfg.num_iterations, step, init
+    )
+    return (
+        RF.RefineResult(params["rot6d"], params["trans"], losses, ious, max_ov),
+        (params, opt_state),
+    )

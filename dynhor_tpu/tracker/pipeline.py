@@ -239,25 +239,23 @@ def track_sequence(
     K_rois = cam.get_K_crop_resize(
         jnp.broadcast_to(jnp.asarray(K_full), (f_frames, 3, 3)), sq, s
     )
-    def _check_bin_overflow(rot_row, trans, tag):
-        """Host-side guard: tile-bin overflow silently drops faces (drops the
-        highest-index ones), so warn loudly if the cap is too small at the
-        init poses (the crop framing barely changes during refinement)."""
+    def _counted_refine_cap(rot_row, trans) -> int:
+        """Per-tile face cap for refinement, counted at the init poses over
+        ALL frames with headroom for pose motion (poses move during the 100
+        Adam steps; the in-loop overflow signal in tracker/refine.py remains
+        the backstop).  Fixed caps corrupt edge-on poses silently."""
         from ..ops.rasterize import project_perspective
-        from ..ops.rasterize_tiled import bin_faces
+        from ..ops.rasterize_tiled import max_tile_load
 
-        i = rot_row.shape[0] // 2
-        vc = mesh_arrays.verts @ rot_row[i] + jnp.reshape(trans[i], (1, 3))
-        vp = project_perspective(vc, K_rois[i])
-        bins = bin_faces(vp, mesh_arrays.faces, (s, s), margin=3.0)
-        ov = int(bins.overflow)
-        if ov > 0:
-            print(
-                f"WARNING: tile-bin overflow ({ov} face-tile pairs dropped) at"
-                f" the {tag} pose — raise system.max_faces_per_tile or set"
-                f" use_tiled: false",
-                flush=True,
+        def one(R, t, K):
+            vc = mesh_arrays.verts @ R + jnp.reshape(t, (1, 3))
+            return max_tile_load(
+                project_perspective(vc, K), mesh_arrays.faces, (s, s)
             )
+
+        worst = int(jax.vmap(one)(rot_row, jnp.asarray(trans), K_rois).max())
+        cap = -(-int(worst * 1.5) // 128) * 128
+        return max(256, min(cap, int(mesh_arrays.faces.shape[0])))
 
     refine_cfg = RF.RefineConfig(
         num_iterations=int(sysc["init_num_iterations"]),
@@ -287,7 +285,9 @@ def track_sequence(
             rot_init = gate.rotation_init  # (F, 3, 3)
             trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
             jax.block_until_ready(trans_init)
-            _check_bin_overflow(rot_init, trans_init, "init")
+            cap = _counted_refine_cap(rot_init, trans_init)
+            refine_cfg = dataclasses.replace(refine_cfg, max_faces_per_tile=cap)
+            joint_cap = cap
         with prof.phase("refine"):
             res = RF.refine_poses(
                 mesh_arrays, targets, rot_init, trans_init, dino_params, dino_cfg,
@@ -301,9 +301,13 @@ def track_sequence(
         # Sequential parity mode: thread the REFINED rotation into the gate.
         state = S.initial_state()
         rot6d_list, trans_list, sel_list, loss_list, iou_list = [], [], [], [], []
+        joint_cap = 0
         for i in range(f_frames):
             state, gate = S.gate_frame(state, scores[i], priors_row)
             t0 = autodepth(gate.rotation_init[None], ann.bbox_xywh[i : i + 1])
+            cap = _counted_refine_cap(gate.rotation_init[None], t0)
+            joint_cap = max(joint_cap, cap)
+            refine_cfg = dataclasses.replace(refine_cfg, max_faces_per_tile=cap)
             one_targets = RF.FrameTargets(
                 target_masks=targets.target_masks[i : i + 1],
                 gt_feats=targets.gt_feats[i : i + 1],
@@ -336,6 +340,7 @@ def track_sequence(
         crop_size=s,
         sigma=float(sysc["sigma"]),
         face_chunk=int(sysc["face_chunk"]),
+        max_faces_per_tile=joint_cap,
     )
     with prof.phase("joint-opt"):
         jres = J.joint_optimize(

@@ -298,25 +298,11 @@ def _max_tile_counts_chunk(
     margin: float = 3.0, chunk: int = 0,
 ):
     """Max per-tile candidate-face count over a chunk of views (no top_k)."""
-    from ..ops.rasterize_tiled import face_screen_bboxes
-
-    th = tw = -(-window // tile)
-    ty = jnp.arange(th) * tile
-    tx = jnp.arange(tw) * tile
+    from ..ops.rasterize_tiled import max_tile_load
 
     def one(Rc, tc):
         vp = rz.project_perspective(verts @ Rc.T + tc, K_win)
-        bboxes, vis = face_screen_bboxes(vp, faces)
-        x1 = bboxes[:, 0] - margin
-        y1 = bboxes[:, 1] - margin
-        x2 = bboxes[:, 2] + margin
-        y2 = bboxes[:, 3] + margin
-        ox = (x1[None, :] < (tx[:, None] + tile)) & (x2[None, :] > tx[:, None])
-        oy = (y1[None, :] < (ty[:, None] + tile)) & (y2[None, :] > ty[:, None])
-        counts = jnp.einsum(
-            "af,bf->ab", oy.astype(jnp.float32), (ox & vis[None, :]).astype(jnp.float32)
-        )  # (Ty, Tx) per-tile candidate counts via one MXU matmul
-        return counts.max()
+        return max_tile_load(vp, faces, (window, window), tile, margin)
 
     return jax.lax.map(lambda rt: one(*rt), (R_chunk, t_chunk)).max()
 

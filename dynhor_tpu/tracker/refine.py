@@ -69,6 +69,12 @@ class RefineConfig:
     # the MXU's fast path; the perceptual-loss gradient tolerates it (the
     # backbone is frozen; only the direction of the image gradient matters).
     dino_dtype: str = "bfloat16"
+    # Rematerialization of ViT blocks in the sem-loss backward.  Measured
+    # on v5e at 8 frames: full per-block remat (True) beats the
+    # save-matmul-outputs policy ("dots", +6% step time — saved-activation
+    # HBM writes cost more than the recompute) and no-remat crashes this
+    # TPU compiler outright.
+    dino_remat: bool | str = True
 
 
 class MeshArrays(NamedTuple):
@@ -187,7 +193,8 @@ def _frame_loss(
         # the input dtype to theirs so the ViT runs uniformly.
         param_dtype = jax.tree.leaves(dino_params)[0].dtype
         feats = dino_mod.forward_tokens(
-            dino_params, dino_in.astype(param_dtype), dino_cfg
+            dino_params, dino_in.astype(param_dtype), dino_cfg,
+            remat=cfg.dino_remat,
         )[0].astype(jnp.float32)  # (P, D) — NOT normalized (reference :172,183)
         fs = dino_cfg.feat_size
         ref_small = resize_nearest(ref_mask, fs, fs).reshape(-1)  # (P,)

@@ -172,7 +172,9 @@ def test_jointopt_reduces_loss_and_smooths():
     assert hist["iou_object"][-1] > hist["iou_object"][0]
     assert hist["iou_object"][-1] > 0.8
     # History keys match the reference's TensorBoard scalars (jointopt.py:151-155).
-    assert set(hist.keys()) == {"loss", "loss_sil_obj", "loss_smooth_obj", "iou_object"}
+    assert set(hist.keys()) == {
+        "loss", "loss_sil_obj", "loss_smooth_obj", "iou_object", "bin_overflow",
+    }
 
 
 def test_jointopt_scale_frozen_by_default():
