@@ -62,9 +62,15 @@ class TrainConfig:
     # Eikonal tying them together, a radial zero crossing must exist.
     lw_origin: float = 0.01
     origin_margin: float = 0.02
+    # Occupancy-grid refresh period (rcfg.sampler == "occgrid"): the grid
+    # is rebuilt from the current SDF off the hot step.
+    occ_update_every: int = 250
     log_every: int = 500
     checkpoint_every: int = 5000
     seed: int = 0
+    # lr multiplier for explicit feature grids (hash table / triplane
+    # planes); 1.0 leaves pe-only configs untouched.
+    grid_lr_mult: float = 20.0
     # StableNormal maps are OpenGL-convention camera normals (x right,
     # y up, z toward viewer); OpenCV cameras flip y/z.
     normal_flip_yz: bool = True
@@ -134,11 +140,11 @@ def make_train_step(
 ):
     """Build the jitted train step closure."""
 
-    def loss_fn(params, bg, key, data: ReconData, corr: CorrData | None):
+    def loss_fn(params, bg, key, data: ReconData, corr: CorrData | None, occ):
         k_pix, k_render, k_corr, k_eik, k_shell = jax.random.split(key, 5)
         fr, xy, rgb_gt, mask_gt, nrm_gt = sample_ray_batch(k_pix, data, tcfg.batch_rays)
         rays = _rays_for(data, fr, xy, rcfg.bound)
-        out = render_rays(params, sdf_cfg, rcfg, rays, k_render)
+        out = render_rays(params, sdf_cfg, rcfg, rays, k_render, occ)
 
         rgb_pred = out.rgb + (1.0 - out.acc[:, None]) * jax.nn.sigmoid(bg)
         l_rgb = jnp.abs(rgb_pred - rgb_gt).mean()
@@ -202,7 +208,7 @@ def make_train_step(
             idx = jax.random.randint(k_corr, (take,), 0, m)
             fi, fj = corr.frame_i[idx], corr.frame_j[idx]
             rays_i = _rays_for(data, fi, corr.xy_i[idx], rcfg.bound)
-            out_i = render_rays(params, sdf_cfg, rcfg, rays_i, None)
+            out_i = render_rays(params, sdf_cfg, rcfg, rays_i, None, occ)
             # Project frame-i surface points into frame j.  Points must be
             # well in front of camera j — a generous z floor keeps the 1/z
             # gradient bounded (a tiny eps here NaN'd training).
@@ -228,9 +234,9 @@ def make_train_step(
         return loss, logs
 
     @jax.jit
-    def train_step(state: TrainState, key, data: ReconData, corr):
+    def train_step(state: TrainState, key, data: ReconData, corr, occ=None):
         (loss, logs), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-            state.params, state.bg_color, key, data, corr
+            state.params, state.bg_color, key, data, corr, occ
         )
         g_params, g_bg = grads
         updates, opt_state = opt.update(g_params, state.opt_state, state.params)
@@ -263,11 +269,32 @@ def make_optimizer(tcfg: TrainConfig):
     sched = optax.warmup_cosine_decay_schedule(
         0.0, tcfg.lr, tcfg.warmup, max(tcfg.num_steps, tcfg.warmup + 1)
     )
+    sched_grid = optax.warmup_cosine_decay_schedule(
+        0.0, tcfg.lr * tcfg.grid_lr_mult, tcfg.warmup,
+        max(tcfg.num_steps, tcfg.warmup + 1),
+    )
     # Global-norm clipping: rare gradient spikes (raster edge cases, the
     # normal loss near grazing surfaces) can kick the field into the
     # no-zero-crossing basin mid-training (observed: psnr 32 -> collapse
     # between steps 1k-2k on a seed change).
-    return optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    # Explicit feature grids (hash table / triplanes) get a higher lr than
+    # the MLPs (TensoRF/instant-NGP practice — each grid cell sees few
+    # gradient updates, so per-cell steps must be larger).
+
+    def label(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "grid"
+            if any(getattr(k, "key", None) in ("table", "planes") for k in path)
+            else "net",
+            params,
+        )
+
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.multi_transform(
+            {"net": optax.adam(sched), "grid": optax.adam(sched_grid)}, label
+        ),
+    )
 
 
 def train(
@@ -292,8 +319,17 @@ def train(
             start = int(state.step)
     step_fn = make_train_step(sdf_cfg, rcfg, tcfg, opt)
     history: dict[str, list] = {}
+    occ = None
+    occ_fn = None
+    if rcfg.sampler == "occgrid":
+        from .rendering import occupancy_from_sdf
+
+        occ_fn = jax.jit(lambda p: occupancy_from_sdf(p, sdf_cfg, rcfg))
+        occ = occ_fn(state.params)
     for i in range(start, tcfg.num_steps):
-        state, logs = step_fn(state, jax.random.fold_in(key, i), data, corr)
+        if occ_fn is not None and i % max(tcfg.occ_update_every, 1) == 0 and i > start:
+            occ = occ_fn(state.params)
+        state, logs = step_fn(state, jax.random.fold_in(key, i), data, corr, occ)
         if (i + 1) % tcfg.log_every == 0 or i == start:
             logs = {k: float(v) for k, v in logs.items()}
             for k, v in logs.items():

@@ -239,7 +239,7 @@ def track_sequence(
     K_rois = cam.get_K_crop_resize(
         jnp.broadcast_to(jnp.asarray(K_full), (f_frames, 3, 3)), sq, s
     )
-    def _counted_refine_cap(rot_row, trans) -> int:
+    def _counted_refine_cap(rot_row, trans, K_rois_sel) -> int:
         """Per-tile face cap for refinement, counted at the init poses over
         ALL frames with headroom for pose motion (poses move during the 100
         Adam steps; the in-loop overflow signal in tracker/refine.py remains
@@ -253,7 +253,7 @@ def track_sequence(
                 project_perspective(vc, K), mesh_arrays.faces, (s, s)
             )
 
-        worst = int(jax.vmap(one)(rot_row, jnp.asarray(trans), K_rois).max())
+        worst = int(jax.vmap(one)(rot_row, jnp.asarray(trans), K_rois_sel).max())
         cap = -(-int(worst * 1.5) // 128) * 128
         return max(256, min(cap, int(mesh_arrays.faces.shape[0])))
 
@@ -285,7 +285,7 @@ def track_sequence(
             rot_init = gate.rotation_init  # (F, 3, 3)
             trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
             jax.block_until_ready(trans_init)
-            cap = _counted_refine_cap(rot_init, trans_init)
+            cap = _counted_refine_cap(rot_init, trans_init, K_rois)
             refine_cfg = dataclasses.replace(refine_cfg, max_faces_per_tile=cap)
             joint_cap = cap
         with prof.phase("refine"):
@@ -305,7 +305,7 @@ def track_sequence(
         for i in range(f_frames):
             state, gate = S.gate_frame(state, scores[i], priors_row)
             t0 = autodepth(gate.rotation_init[None], ann.bbox_xywh[i : i + 1])
-            cap = _counted_refine_cap(gate.rotation_init[None], t0)
+            cap = _counted_refine_cap(gate.rotation_init[None], t0, K_rois[i : i + 1])
             joint_cap = max(joint_cap, cap)
             refine_cfg = dataclasses.replace(refine_cfg, max_faces_per_tile=cap)
             one_targets = RF.FrameTargets(

@@ -58,6 +58,10 @@ def main() -> None:
         n_coarse=int(rc.get("n_coarse", 64)),
         n_importance=int(rc.get("n_importance", 64)),
         up_sample_steps=int(rc.get("up_sample_steps", 4)),
+        sampler=str(rc.get("sampler", "neus")),
+        n_candidates=int(rc.get("n_candidates", 192)),
+        n_occ_samples=int(rc.get("n_occ_samples", 64)),
+        occ_res=int(rc.get("occ_res", 64)),
     )
     tcfg = T.TrainConfig(
         num_steps=int(rc.get("num_steps", 20000)),

@@ -33,21 +33,20 @@ def synthetic_data(frames=4, h=128, w=128):
     imgs = jax.random.uniform(jax.random.PRNGKey(1), (frames, h, w, 3))
     masks = jnp.ones((frames, h, w))
     return ReconData(
-        images=imgs, masks=masks, normals=None, R_rows=R, Ts=Ts,
-        Ks=jnp.tile(K, (frames, 1, 1)),
+        images=imgs, masks=masks, normals=None, R_rows=R, Ts=Ts, K=K,
     )
 
 
-def bench_encoder(encoder: str, batches, steps=20, table_size=None):
+def bench_encoder(encoder: str, batches, steps=20, table_size=None, sampler="neus"):
     from dynhor_tpu.neus.fields import SDFConfig
-    from dynhor_tpu.neus.rendering import RenderConfig
+    from dynhor_tpu.neus.rendering import RenderConfig, occupancy_from_sdf
     from dynhor_tpu.neus import trainer as T
 
     kw = {"encoder": encoder}
     if table_size is not None:
         kw["hash_table_size"] = table_size
     sdf_cfg = SDFConfig(**kw)
-    rcfg = RenderConfig()
+    rcfg = RenderConfig(sampler=sampler)
     data = synthetic_data()
     results = {}
     for batch in batches:
@@ -56,23 +55,29 @@ def bench_encoder(encoder: str, batches, steps=20, table_size=None):
         state = T.init_train_state(jax.random.PRNGKey(0), sdf_cfg, tcfg, opt)
         step_fn = T.make_train_step(sdf_cfg, rcfg, tcfg, opt)
         key = jax.random.PRNGKey(1)
+        occ = None
+        if sampler == "occgrid":
+            occ = jax.jit(lambda p: occupancy_from_sdf(p, sdf_cfg, rcfg))(state.params)
 
         def run_step(state, i):
             k = jax.random.fold_in(key, i)
-            kb, ks = jax.random.split(k)
-            batch_data = T.sample_ray_batch(kb, data, batch)
-            state, metrics = step_fn(state, ks, batch_data, None)
+            state, metrics = step_fn(state, k, data, None, occ)
             return state, metrics
 
         # Warmup (compile + first steps).
+        losses = []
         for i in range(3):
             state, metrics = run_step(state, i)
-        jax.block_until_ready(state.params)
+            losses.append(float(metrics["loss"]))
         t0 = time.perf_counter()
         for i in range(steps):
             state, metrics = run_step(state, 100 + i)
-        jax.block_until_ready(state.params)
+        # Value fetch forces  completion; a wedged runtime that silently
+        # drops work (seen after TPU-side compiler crashes) would otherwise
+        # report physically impossible step times.
+        losses.append(float(metrics["loss"]))
         dt = (time.perf_counter() - t0) / steps
+        assert losses[-1] != losses[0], "loss never moved — runtime wedged?"
         rps = batch / dt
         results[batch] = rps
         print(
@@ -89,11 +94,12 @@ def main():
     ap.add_argument("--batches", nargs="+", type=int, default=[1024, 4096, 8192])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--hash_table_size", type=int, default=None)
+    ap.add_argument("--sampler", type=str, default="neus")
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     best = {}
     for enc in args.encoders:
-        r = bench_encoder(enc, args.batches, args.steps, args.hash_table_size)
+        r = bench_encoder(enc, args.batches, args.steps, args.hash_table_size, args.sampler)
         best[enc] = max(r.values())
     for enc, v in best.items():
         print(f"BEST {enc}: {v / 1000.0:.1f}K rays/s/chip")
