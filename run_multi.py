@@ -117,13 +117,37 @@ def main() -> None:
     rot_all = jnp.concatenate(rot_inits)
     trans_all = jnp.concatenate(trans_inits)
     cfg0 = configs[0]["system"]
+
+    # Counted per-tile face cap over ALL pooled frames at their init poses
+    # (fixed caps silently drop faces at edge-on poses; tracker/pipeline
+    # does the same for single sequences).
+    from dynhor_tpu.ops.rasterize import project_perspective
+    from dynhor_tpu.ops.rasterize_tiled import max_tile_load
+
+    s0 = int(cfg0["crop_size"])
+
+    def _load_one(verts_i, faces_i, R_i, t_i, K_i):
+        vc = verts_i @ R_i + jnp.reshape(t_i, (1, 3))
+        return max_tile_load(project_perspective(vc, K_i), faces_i, (s0, s0))
+
+    worst = int(
+        jax.vmap(_load_one)(
+            batch.mesh_verts, batch.mesh_faces, rot_all, trans_all,
+            batch.targets.K_rois,
+        ).max()
+    )
+    cap = max(256, min(-(-int(worst * 1.5) // 128) * 128, int(batch.mesh_faces.shape[1])))
+    print(f"pooled refine: per-tile face cap {cap} (counted)")
+
     refine_cfg = RF.RefineConfig(
         num_iterations=int(cfg0["init_num_iterations"]),
         lr=float(cfg0["init_lr"]),
-        crop_size=int(cfg0["crop_size"]),
+        crop_size=s0,
         sigma=float(cfg0["sigma"]),
         face_chunk=int(cfg0["face_chunk"]),
         mode="fine",
+        max_faces_per_tile=cap,
+        offscreen_weight=float(cfg0["offscreen_weight"]),
     )
     res = MS.refine_poses_multi(
         batch, rot_all, trans_all, dino_params, dino_cfg, refine_cfg
@@ -148,6 +172,7 @@ def main() -> None:
             crop_size=int(sysc["crop_size"]),
             sigma=float(sysc["sigma"]),
             face_chunk=int(sysc["face_chunk"]),
+            max_faces_per_tile=cap,
         )
         ma = PL._mesh_arrays(mesh)
         jres = J.joint_optimize(
