@@ -141,6 +141,69 @@ def _tile_mass_and_depth_chunk(
     return mass, zmin, jbest
 
 
+def _tile_depth_chunk(
+    rows: Array, px: Array, py: Array, znear: float
+):
+    """Hard-raster-only per-chunk pass (no silhouette math — used by the
+    forward-only prior-view renderer, ~3x less VPU work than the fused
+    chunk)."""
+    x0, y0 = rows[0][None, :], rows[1][None, :]
+    x1, y1 = rows[2][None, :], rows[3][None, :]
+    x2, y2 = rows[4][None, :], rows[5][None, :]
+    vis = rows[6][None, :]
+    z0, z1, z2 = rows[8][None, :], rows[9][None, :], rows[10][None, :]
+
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    degen = jnp.abs(area) < 1e-12
+    inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))
+    w0 = ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) * inv_area
+    w1 = ((x0 - x2) * (py - y2) - (y0 - y2) * (px - x2)) * inv_area
+    w2 = ((x1 - x0) * (py - y0) - (y1 - y0) * (px - x0)) * inv_area
+    inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0) & (jnp.abs(area) > 1e-12)
+    z = w0 * z0 + w1 * z1 + w2 * z2
+    ok = inside & (z > znear) & (vis > 0.5)
+    zm = jnp.where(ok, z, _BIG_Z)
+    jbest = jnp.argmin(zm, axis=1).astype(jnp.int32)
+    zmin = jnp.min(zm, axis=1)
+    return zmin, jbest
+
+
+def _depth_fwd_kernel(
+    counts_ref, rows_ref, zmin_ref, jbest_ref, *, tile: int, tiles_w: int,
+    znear: float,
+):
+    px, py = _pixel_coords(tile)
+    i = pl.program_id(0)
+    m = rows_ref.shape[2]
+    fc = min(_FWD_FC, m)
+    p = tile * tile
+    for t in range(_TB):
+        gidx = i * _TB + t
+        ox = (jnp.mod(gidx, tiles_w) * tile).astype(jnp.float32)
+        oy = ((gidx // tiles_w) * tile).astype(jnp.float32)
+        n_chunks = pl.cdiv(counts_ref[gidx, 0], fc)
+
+        def body(ci, carry):
+            zmin, jbest = carry
+            off = pl.multiple_of(ci * fc, fc)
+            zmin_c, jbest_c = _tile_depth_chunk(
+                rows_ref[t, :, pl.ds(off, fc)], px + ox, py + oy, znear
+            )
+            better = zmin_c < zmin
+            return (
+                jnp.where(better, zmin_c, zmin),
+                jnp.where(better, jbest_c + off, jbest),
+            )
+
+        zmin, jbest = jax.lax.fori_loop(
+            0, n_chunks,
+            body,
+            (jnp.full((p,), _BIG_Z, jnp.float32), jnp.zeros((p,), jnp.int32)),
+        )
+        zmin_ref[t, :] = zmin
+        jbest_ref[t, :] = jbest
+
+
 def _fused_fwd_kernel(
     counts_ref, rows_ref, mass_ref, zmin_ref, jbest_ref, *, tile: int,
     tiles_w: int, sigma: float, dist_mode: str, znear: float,
@@ -391,10 +454,94 @@ def rasterize_pallas(
     tile: int = 16,
     max_faces: int = 640,
     znear: float = 1e-2,
-) -> Fragments:
-    """Hard-raster-only fused kernel (prior rendering path)."""
-    frag, _, _ = rasterize_silhouette_pallas(
-        verts_pix, faces, image_size, sigma=0.25, tile=tile, max_faces=max_faces,
-        znear=znear,
+) -> tuple[Fragments, Array]:
+    """Hard-raster-only Pallas path (forward only — prior rendering).
+
+    Margin-0 binning (hard coverage needs no soft-edge band, so the
+    candidate load and the counted cap shrink vs the fused kernel) and a
+    depth-only kernel without the silhouette math.
+
+    Returns (Fragments, overflow () int32).
+    """
+    h, w = image_size
+    bins = bin_faces(verts_pix, faces, image_size, tile, max_faces, margin=0.0)
+    t_total, m = bins.indices.shape
+    th, tw = -(-h // tile), -(-w // tile)
+
+    fv_all = verts_pix[faces]  # (F, 3, 3)
+    zero_f = jnp.zeros((faces.shape[0],), verts_pix.dtype)
+    z_ok_all = (fv_all[..., 2] > znear).any(axis=-1)
+    rows_all = jnp.stack(
+        [
+            fv_all[:, 0, 0], fv_all[:, 0, 1],
+            fv_all[:, 1, 0], fv_all[:, 1, 1],
+            fv_all[:, 2, 0], fv_all[:, 2, 1],
+            z_ok_all.astype(verts_pix.dtype), zero_f,
+            fv_all[:, 0, 2], fv_all[:, 1, 2], fv_all[:, 2, 2],
+            zero_f, zero_f, zero_f, zero_f, zero_f,
+        ],
+        axis=-1,
+    )  # (F, 16)
+    rows = rows_all[bins.indices.reshape(-1)].reshape(t_total, m, 16)
+    rows = jnp.swapaxes(rows, 1, 2)
+    rows = rows.at[:, 6, :].multiply(bins.valid.astype(verts_pix.dtype))
+
+    pad_m = (-m) % 128
+    if pad_m:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros(rows.shape[:2] + (pad_m,), rows.dtype)], axis=2
+        )
+    counts = bins.valid.sum(axis=1).astype(jnp.int32)
+    pad_t = (-t_total) % _TB
+    if pad_t:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad_t,) + rows.shape[1:], rows.dtype)], axis=0
+        )
+        counts = jnp.concatenate([counts, jnp.zeros((pad_t,), jnp.int32)])
+    t_pad, _, m_pad = rows.shape
+    p = tile * tile
+    kern = functools.partial(
+        _depth_fwd_kernel, tile=tile, tiles_w=tw, znear=znear
     )
-    return frag
+    zmin, jbest = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, p), jnp.int32),
+        ),
+        grid=(t_pad // _TB,),
+        in_specs=[
+            pl.BlockSpec((t_pad, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TB, 16, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TB, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TB, p), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(counts.reshape(t_pad, 1), rows)
+    zmin, jbest = zmin[:t_total], jbest[:t_total]
+
+    hit = zmin < (_BIG_Z * 0.5)
+    fid = jnp.take_along_axis(bins.indices, jbest, axis=1)
+    fid = jnp.where(hit, fid, -1).astype(jnp.int32)
+    zbuf = jnp.where(hit, zmin, -1.0)
+
+    def detile(x):
+        return (
+            x.reshape(th, tw, tile, tile).transpose(0, 2, 1, 3)
+            .reshape(th * tile, tw * tile)[:h, :w]
+        )
+
+    pix_to_face = detile(fid.reshape(t_total, tile, tile))
+    zbuf_img = detile(zbuf.reshape(t_total, tile, tile))
+    gx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
+    gy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
+    bary = barycentrics_at(verts_pix, faces, pix_to_face.reshape(-1), gx, gy)
+    hit_img = pix_to_face >= 0
+    frag = Fragments(
+        pix_to_face=pix_to_face,
+        bary=jnp.where(hit_img.reshape(-1, 1), bary, 0.0).reshape(h, w, 3),
+        zbuf=zbuf_img,
+    )
+    return frag, bins.overflow

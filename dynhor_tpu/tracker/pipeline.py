@@ -119,9 +119,12 @@ def process_frames(
         hand_crop = crop_mask_bool_np(
             seq.hand_masks[i].astype(np.float32), sq_xyxy, crop_size
         )
-        target = np.asarray(
-            masksu.add_occlusions(jnp.asarray(crop_mask), jnp.asarray(hand_crop))
-        )
+        # Tri-valued target (utils/masks.add_occlusions semantics) in pure
+        # numpy: per-frame device dispatches here paid a remote-compile
+        # round trip each BEFORE the pipeline started (measured 174 s of
+        # host preprocessing on axon; host work must stay on the host).
+        target = np.where(hand_crop, -1.0, 0.0)
+        target = np.where(crop_mask, 1.0, target)
 
         bboxes.append(bbox_xywh)
         squares.append(sq_xyxy)
@@ -136,13 +139,14 @@ def process_frames(
 
 
 def load_mesh(obj_path: str, normalize: bool = True) -> MeshData:
-    """Load + optionally normalize the template mesh (run.py:107-117)."""
+    """Load + optionally normalize the template mesh (run.py:107-117).
+
+    Pure numpy (host path — see process_frames note)."""
     mesh = load_obj(obj_path)
-    verts = mesh.verts
+    verts = np.asarray(mesh.verts, np.float32)
     if normalize:
-        verts = np.asarray(
-            G.center_and_normalize_verts(jnp.asarray(verts)), np.float32
-        )
+        verts = verts - verts.mean(axis=0, keepdims=True)
+        verts = (verts / np.linalg.norm(verts, axis=1).max() * 0.5).astype(np.float32)
     return dataclasses.replace(mesh, verts=verts)
 
 
@@ -369,6 +373,9 @@ def track_sequence(
 
 def run_from_config(config: dict[str, Any], exps_root: str = "exps") -> TrackResult:
     """Full run.py-equivalent: load, track, save artifacts."""
+    import time as _time
+
+    t0 = _time.time()
     data_info = config["data_info"]
     seq = load_sequence(data_info["dataroot"])
     ann = process_frames(
@@ -377,6 +384,7 @@ def run_from_config(config: dict[str, Any], exps_root: str = "exps") -> TrackRes
         bbox_expansion=float(config["system"]["bbox_expansion"]),
     )
     mesh = load_mesh(data_info["obj_path"], bool(data_info.get("normalize_mesh", True)))
+    print(f"[profile] host preprocessing: {_time.time() - t0:.2f}s", flush=True)
 
     exp_dir = experiment_dir(config, exps_root)
     os.makedirs(exp_dir, exist_ok=True)
@@ -385,7 +393,9 @@ def run_from_config(config: dict[str, Any], exps_root: str = "exps") -> TrackRes
     board = Board(exp_dir)
 
     result = track_sequence(config, seq, ann, mesh, board=board)
+    t0 = _time.time()
     result = maybe_vote_outliers(config, seq, ann, mesh, result, board)
+    print(f"[profile] outlier-voting: {_time.time() - t0:.2f}s", flush=True)
     save_pose_npzs(
         exp_dir, seq.frame_ids, result.rotations_row, result.translations, result.K
     )

@@ -159,9 +159,9 @@ def _render_one_view(
     vn = rz.compute_vertex_normals(verts_cam, faces)
     vp = rz.project_perspective(verts_cam, K_win)
     if jax.default_backend() == "tpu":
-        from ..ops.raster_pallas import rasterize_silhouette_pallas
+        from ..ops.raster_pallas import rasterize_pallas
 
-        frag, _, overflow = rasterize_silhouette_pallas(
+        frag, overflow = rasterize_pallas(
             vp, faces, (window, window), max_faces=max_faces
         )
     else:
@@ -338,7 +338,8 @@ def required_prior_cap(
     for i in range(0, Rs.shape[0], chunk):
         c = retry_on_device_error(
             lambda i=i: jax.block_until_ready(_max_tile_counts_chunk(
-                verts, faces, Rs[i : i + chunk], ts[i : i + chunk], K_win, window
+                verts, faces, Rs[i : i + chunk], ts[i : i + chunk], K_win,
+                window, margin=0.0,  # raster-only prior path bins at margin 0
             )),
             tag="prior-cap-count",
         )

@@ -75,10 +75,13 @@ def test_fused_silhouette_gradient_matches(scene):
 def test_raster_only_wrapper(scene):
     _, vp, faces, _ = scene
     ref = rasterize_tiled(vp, faces, (S, S), max_faces=MAX_FACES)
-    frag = rasterize_pallas(vp, faces, (S, S), max_faces=MAX_FACES)
+    frag, ov = rasterize_pallas(vp, faces, (S, S), max_faces=MAX_FACES)
+    assert int(ov) == 0
     np.testing.assert_array_equal(
         np.asarray(frag.pix_to_face), np.asarray(ref.pix_to_face)
     )
+    np.testing.assert_allclose(np.asarray(frag.zbuf), np.asarray(ref.zbuf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(frag.bary), np.asarray(ref.bary), atol=1e-5)
 
 
 def test_fused_empty_view():
