@@ -82,7 +82,7 @@ def main() -> None:
 
     def _load(R_row, t):
         vp = RZ.project_perspective(verts @ R_row + t, K)
-        return max_tile_load(vp, mesh.faces, (CROP, CROP))
+        return max_tile_load(vp, mesh.faces, (CROP, CROP), margin=6.0 * 0.25 + 1.0)
 
     worst = int(jax.vmap(_load)(rot, trans).max())
     cap = max(256, min(-(-int(worst * 1.5) // 128) * 128, int(mesh.faces.shape[0])))

@@ -363,7 +363,7 @@ def rasterize_silhouette_pallas(
     """
     h, w = image_size
     bins = bin_faces(
-        verts_pix, faces, image_size, tile, max_faces, margin=8.0 * sigma + 1.0
+        verts_pix, faces, image_size, tile, max_faces, margin=6.0 * sigma + 1.0
     )
     t_total, m = bins.indices.shape
     th, tw = -(-h // tile), -(-w // tile)

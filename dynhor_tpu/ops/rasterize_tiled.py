@@ -160,7 +160,7 @@ def soft_silhouette_tiled(
     default sigma 0.25).
     """
     h, w = image_size
-    bins = bin_faces(verts_pix, faces, image_size, tile, max_faces, margin=8.0 * sigma + 1.0)
+    bins = bin_faces(verts_pix, faces, image_size, tile, max_faces, margin=6.0 * sigma + 1.0)
     px, py, ox, oy, th, tw = _tile_grid(h, w, tile)
     inv_sigma = 1.0 / sigma
     fv_all = verts_pix[faces]  # (F, 3, 3)

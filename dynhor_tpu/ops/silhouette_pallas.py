@@ -288,7 +288,7 @@ def soft_silhouette_pallas(
     """Drop-in replacement for ops.rasterize_tiled.soft_silhouette_tiled."""
     h, w = image_size
     bins = bin_faces(
-        verts_pix, faces, image_size, tile, max_faces, margin=8.0 * sigma + 1.0
+        verts_pix, faces, image_size, tile, max_faces, margin=6.0 * sigma + 1.0
     )
     t_total, m = bins.indices.shape
     th, tw = -(-h // tile), -(-w // tile)

@@ -251,10 +251,13 @@ def track_sequence(
         from ..ops.rasterize import project_perspective
         from ..ops.rasterize_tiled import max_tile_load
 
+        sig = float(sysc["sigma"])
+
         def one(R, t, K):
             vc = mesh_arrays.verts @ R + jnp.reshape(t, (1, 3))
             return max_tile_load(
-                project_perspective(vc, K), mesh_arrays.faces, (s, s)
+                project_perspective(vc, K), mesh_arrays.faces, (s, s),
+                margin=6.0 * sig + 1.0,  # match the fused kernel's binning
             )
 
         worst = int(jax.vmap(one)(rot_row, jnp.asarray(trans), K_rois_sel).max())

@@ -126,9 +126,14 @@ def main() -> None:
 
     s0 = int(cfg0["crop_size"])
 
+    sig0 = float(cfg0["sigma"])
+
     def _load_one(verts_i, faces_i, R_i, t_i, K_i):
         vc = verts_i @ R_i + jnp.reshape(t_i, (1, 3))
-        return max_tile_load(project_perspective(vc, K_i), faces_i, (s0, s0))
+        return max_tile_load(
+            project_perspective(vc, K_i), faces_i, (s0, s0),
+            margin=6.0 * sig0 + 1.0,
+        )
 
     worst = int(
         jax.vmap(_load_one)(
