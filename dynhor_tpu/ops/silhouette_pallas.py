@@ -10,10 +10,11 @@ Layout: faces are packed per tile as ROWS of a (T, 8, M) tensor
 (x0 y0 x1 y1 x2 y2 visible pad) so the face axis M sits on the 128-wide
 lane dimension; the (P x M) broadcasts happen entirely in VMEM.
 
-The backward pass is a second Pallas kernel that evaluates the VJP of the
-per-tile mass function (traced with jax.vjp inside the kernel — pure
-elementwise math, no scatter); the face-gather upstream stays in XLA,
-whose transpose handles the verts scatter-add.
+The backward pass is a second Pallas kernel evaluating a hand-derived
+analytic VJP of the per-tile mass (_tile_mass_grad_analytic — exact vs
+autodiff, verified in f64; no jax.vjp re-trace, no scatter); the
+face-gather upstream stays in XLA, whose transpose handles the verts
+scatter-add.
 """
 from __future__ import annotations
 

@@ -308,13 +308,17 @@ def track_sequence(
         # Sequential parity mode: thread the REFINED rotation into the gate.
         state = S.initial_state()
         rot6d_list, trans_list, sel_list, loss_list, iou_list = [], [], [], [], []
-        joint_cap = 0
+        # ONE cap for all frames (max over the top-1 gate candidates):
+        # per-frame caps would retrigger compilation for every distinct
+        # value.  The gate may pick other candidates, so keep the counted
+        # headroom; the in-loop overflow warning remains the backstop.
+        top1 = priors_row[jnp.argmax(scores, axis=1)]
+        t_all = autodepth(top1, ann.bbox_xywh)
+        joint_cap = _counted_refine_cap(top1, t_all, K_rois)
+        refine_cfg = dataclasses.replace(refine_cfg, max_faces_per_tile=joint_cap)
         for i in range(f_frames):
             state, gate = S.gate_frame(state, scores[i], priors_row)
             t0 = autodepth(gate.rotation_init[None], ann.bbox_xywh[i : i + 1])
-            cap = _counted_refine_cap(gate.rotation_init[None], t0, K_rois[i : i + 1])
-            joint_cap = max(joint_cap, cap)
-            refine_cfg = dataclasses.replace(refine_cfg, max_faces_per_tile=cap)
             one_targets = RF.FrameTargets(
                 target_masks=targets.target_masks[i : i + 1],
                 gt_feats=targets.gt_feats[i : i + 1],
