@@ -74,10 +74,19 @@ def _tile_mass_and_depth_ref(
 
     def body(ci, carry):
         mass, zmin, jbest = carry
-        off = pl.multiple_of(ci * fc, fc)
+        # The caller pads m only to a multiple of 128, so the last chunk's
+        # natural offset can run past the block (undefined Mosaic reads).
+        # Clamp the read window into bounds; the overlap re-reads slots an
+        # earlier chunk already processed — harmless for min/argmin
+        # (idempotent, strict < keeps the first slot) but the mass sum
+        # would double-count, so mask overlap lanes out of the mass.
+        start = ci * fc
+        off = pl.multiple_of(jnp.minimum(start, m - fc), 128)
         chunk = rows_ref[t, :, pl.ds(off, fc)]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, fc), 1)
+        keep = (off + lane) >= start
         mass_c, zmin_c, jbest_c = _tile_mass_and_depth_chunk(
-            chunk, px, py, sigma, dist_mode, znear
+            chunk, px, py, sigma, dist_mode, znear, keep
         )
         mass = mass + mass_c
         better = zmin_c < zmin  # strict: global argmin keeps the FIRST slot
@@ -94,7 +103,8 @@ def _tile_mass_and_depth_ref(
 
 
 def _tile_mass_and_depth_chunk(
-    rows: Array, px: Array, py: Array, sigma: float, dist_mode: str, znear: float
+    rows: Array, px: Array, py: Array, sigma: float, dist_mode: str,
+    znear: float, keep: Array,
 ):
     x0, y0 = rows[0][None, :], rows[1][None, :]
     x1, y1 = rows[2][None, :], rows[3][None, :]
@@ -131,7 +141,7 @@ def _tile_mass_and_depth_chunk(
     else:
         logit = sign * d2 / sigma
     visible = (vis > 0.5) & (jnp.abs(area) > 1e-12)
-    mass = jnp.where(visible, jax.nn.softplus(logit), 0.0).sum(axis=1)
+    mass = jnp.where(visible & keep, jax.nn.softplus(logit), 0.0).sum(axis=1)
 
     z = w0 * z0 + w1 * z1 + w2 * z2  # (P, M)
     ok = inside & (z > znear) & visible
@@ -185,7 +195,9 @@ def _depth_fwd_kernel(
 
         def body(ci, carry):
             zmin, jbest = carry
-            off = pl.multiple_of(ci * fc, fc)
+            # Clamp the last chunk into bounds (see _tile_mass_and_depth_ref);
+            # min/argmin are idempotent over the re-read overlap.
+            off = pl.multiple_of(jnp.minimum(ci * fc, m - fc), 128)
             zmin_c, jbest_c = _tile_depth_chunk(
                 rows_ref[t, :, pl.ds(off, fc)], px + ox, py + oy, znear
             )

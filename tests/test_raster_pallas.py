@@ -105,6 +105,65 @@ def test_fused_overflow_reported(scene):
     assert int(ov) > 0
 
 
+@pytest.fixture(scope="module")
+def crowded_tile_scene():
+    # 600 tiny triangles all binned into ONE tile: the tile's candidate
+    # count (600) lies in (m - 512, m] with the padded face axis m = 640
+    # NOT a multiple of the 512-face forward chunk — regression for the
+    # out-of-bounds final-chunk read (ADVICE r2 medium): the clamped
+    # overlap window must not double-count mass or mismap face ids.
+    key = jax.random.PRNGKey(1)
+    n = 600
+    c = jax.random.uniform(key, (n, 2), minval=4.0, maxval=12.0)
+    offs = jnp.array([[0.0, 0.0], [0.6, 0.0], [0.0, 0.6]])
+    pts = c[:, None, :] + offs[None]
+    z = 2.0 + 0.001 * jnp.arange(n, dtype=jnp.float32)[:, None, None]
+    vp = jnp.concatenate([pts, jnp.broadcast_to(z, (n, 3, 1))], -1).reshape(-1, 3)
+    faces = jnp.arange(n * 3, dtype=jnp.int32).reshape(n, 3)
+    return vp, faces
+
+
+def test_fused_final_chunk_not_multiple_of_512(crowded_tile_scene):
+    vp, faces = crowded_tile_scene
+    ref_sil = soft_silhouette_tiled(vp, faces, (64, 64), max_faces=640)
+    ref_frag = rasterize_tiled(vp, faces, (64, 64), max_faces=640)
+    frag, sil, ov = rasterize_silhouette_pallas(vp, faces, (64, 64), max_faces=640)
+    assert int(ov) == 0
+    np.testing.assert_allclose(np.asarray(sil), np.asarray(ref_sil), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(frag.pix_to_face), np.asarray(ref_frag.pix_to_face)
+    )
+    np.testing.assert_allclose(
+        np.asarray(frag.zbuf), np.asarray(ref_frag.zbuf), atol=1e-5
+    )
+    frag2, ov2 = rasterize_pallas(vp, faces, (64, 64), max_faces=640)
+    assert int(ov2) == 0
+    np.testing.assert_array_equal(
+        np.asarray(frag2.pix_to_face), np.asarray(ref_frag.pix_to_face)
+    )
+
+
+def test_fused_final_chunk_gradient(crowded_tile_scene):
+    vp, faces = crowded_tile_scene
+
+    def loss_fused(v):
+        _, sl, _ = rasterize_silhouette_pallas(v, faces, (64, 64), max_faces=640)
+        return (sl**2).sum()
+
+    def loss_ref(v):
+        return (soft_silhouette_tiled(v, faces, (64, 64), max_faces=640) ** 2).sum()
+
+    g1 = np.asarray(jax.grad(loss_fused)(vp))
+    g2 = np.asarray(jax.grad(loss_ref)(vp))
+    # f32 near-ties between segment distances can flip the argmin branch on
+    # isolated vertices (see test_rasterize_tiled's grad test): bound the
+    # bulk tightly, allow rare outliers within 1% of scale.
+    scale = max(np.abs(g2).max(), 1e-6)
+    err = np.abs(g1 - g2)
+    assert float(np.quantile(err, 0.999)) < 1e-5 * scale
+    assert float(err.max()) < 1e-2 * scale
+
+
 def test_analytic_tile_mass_gradient_matches_autodiff():
     # The backward kernels use a hand-derived VJP of _tile_mass
     # (silhouette_pallas._tile_mass_grad_analytic); verify it against

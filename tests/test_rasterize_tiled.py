@@ -133,3 +133,17 @@ def test_pallas_silhouette_matches_tiled_interpret():
     err = np.abs(a1 - a2)
     assert float(np.quantile(err, 0.999)) < 2e-4 * scale
     assert float(err.max()) < 1e-2 * scale
+
+
+def test_binned_margin_matches_unbinned_dense():
+    # Regression for the binning margin (6*sigma+1): the binned silhouette
+    # truncates soft mass beyond the margin band, where the per-face
+    # contribution is softplus(-margin/sigma) ~ softplus(-6) = 2.5e-3.
+    # A future margin reduction (e.g. 4*sigma -> 1.8e-2) must trip this
+    # bound against the dense UNBINNED reference (ADVICE r2).
+    vp, faces = _shoes_view(size=128, seed=3, dist=2.0)
+    dense = SIL.soft_silhouette(vp, faces, (128, 128), sigma=0.25)
+    binned = RT.soft_silhouette_tiled(vp, faces, (128, 128), sigma=0.25,
+                                      max_faces=int(faces.shape[0]))
+    err = np.abs(np.asarray(binned) - np.asarray(dense))
+    assert float(err.max()) < 5e-3, f"margin truncation too coarse: {err.max()}"
