@@ -37,6 +37,16 @@ DEFAULTS: dict[str, Any] = {
             "view_chunk": 25,
             "host_batch": 1000,  # views per device launch (watchdog safety)
             "seed": 0,
+            # Two-stage retrieval (tracker/priors.prior_scores_two_stage):
+            # prescreen all views at reduced window/DINO edge, rescore the
+            # per-frame top-K union at full res.  Gate-equivalence A/B'd on
+            # the demo clip; disable for exact single-stage parity.
+            "prescreen": {
+                "enabled": True,
+                "edge": 224,  # DINO smaller_edge_size for the prescreen
+                "scale": 2,  # window/crop divisor for the prescreen render
+                "topk": 48,  # per-frame candidates rescored at full res
+            },
         },
         "dino": {
             "checkpoint": None,  # path to torch .pth / .npz; random if None
@@ -55,6 +65,12 @@ DEFAULTS: dict[str, Any] = {
             "rejoint": True,  # re-run a short joint opt after pose repair
         },
         "sigma": 0.25,  # soft-silhouette edge band (ours)
+        # Refine/joint per-tile face cap is COUNTED per scene at the init
+        # poses (tracker/pipeline._counted_refine_cap) times this headroom
+        # factor (poses move during optimization).  Set max_faces_per_tile
+        # to force an explicit cap instead of the counted one.
+        "cap_headroom": 1.5,
+        "max_faces_per_tile": None,
         "face_chunk": 512,
         "frame_chunk": None,  # optional microbatching of frames
         "devices": None,  # None = all local devices for the frame shard

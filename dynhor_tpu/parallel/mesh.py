@@ -41,18 +41,39 @@ def make_seq_frame_mesh(num_sequences: int, axis_names=("seq", "frames")) -> Mes
     return Mesh(devs.reshape(num_sequences, -1), axis_names)
 
 
-def shard_leading(tree: Any, mesh: Mesh, axis_name: str = "frames") -> Any:
+def shard_leading(
+    tree: Any, mesh: Mesh, axis_name: str | tuple[str, ...] = "frames"
+) -> Any:
     """device_put every array with its LEADING axis sharded over the mesh.
 
-    Scalars / axes not divisible by the mesh are replicated.
+    ``axis_name`` may be a tuple of mesh axes (e.g. ``("seq", "frames")``)
+    to shard one flat pooled axis over a 2-D mesh — the multi-sequence
+    batch's frame pool over the seq x frames mesh (make_seq_frame_mesh).
+
+    Scalars / axes not divisible by the mesh are replicated — with a
+    host-side warning for non-trivial axes, so a "sharded" run that
+    silently fell back to replication is visible (same honesty standard
+    as the rasterizer overflow signal).  Callers that want true sharding
+    at odd sizes should ``pad_to_multiple`` first.
     """
-    n = int(np.prod([mesh.shape[a] for a in (axis_name,)]))
+    import warnings
+
+    names = axis_name if isinstance(axis_name, tuple) else (axis_name,)
+    n = int(np.prod([mesh.shape[a] for a in names]))
+    lead = names if len(names) > 1 else names[0]
 
     def put(x):
         x = jax.numpy.asarray(x)
         if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
-            spec = P(axis_name, *([None] * (x.ndim - 1)))
+            spec = P(lead, *([None] * (x.ndim - 1)))
         else:
+            if x.ndim >= 1 and x.shape[0] > 1 and n > 1:
+                warnings.warn(
+                    f"shard_leading: leading axis {x.shape[0]} not divisible"
+                    f" by mesh axis '{axis_name}'={n}; REPLICATING this array"
+                    " (pad_to_multiple the axis to shard it)",
+                    stacklevel=3,
+                )
             spec = P(*([None] * x.ndim))
         return jax.device_put(x, NamedSharding(mesh, spec))
 

@@ -171,8 +171,10 @@ def joint_optimize(
     if max_ov > 0:
         print(
             f"WARNING: tile-bin overflow DURING joint optimization (max"
-            f" {max_ov} face-tile pairs dropped in a step) — raise"
-            " system.max_faces_per_tile or set use_tiled: false",
+            f" {max_ov} face-tile pairs dropped in a step) — the cap is"
+            " auto-counted (tracker/pipeline._counted_refine_cap); raise"
+            " system.cap_headroom (default 1.5) or set an explicit"
+            " system.max_faces_per_tile override",
             flush=True,
         )
     return JointResult(result.rot6d, result.translations, result.scale, history)

@@ -268,8 +268,10 @@ def refine_poses(
     if max_overflow > 0:
         print(
             f"WARNING: tile-bin overflow DURING refinement (max {max_overflow}"
-            " face-tile pairs dropped in a step) — raise"
-            " system.max_faces_per_tile or set use_tiled: false",
+            " face-tile pairs dropped in a step) — the cap is auto-counted at"
+            " the init poses (tracker/pipeline._counted_refine_cap); raise"
+            " system.cap_headroom (default 1.5) or set an explicit"
+            " system.max_faces_per_tile override",
             flush=True,
         )
     return result
