@@ -229,13 +229,40 @@ def track_sequence(
         prior_cfg, float(P.mesh_norm_radius(mesh_arrays.verts)),
         float(prior_cfg.distance_scale * radius),
     )
+    # Shard the view axis over the local devices when more than one is
+    # visible (SURVEY.md §2.3 "views" axis); single-chip runs unchanged.
+    n_dev_cfg = sysc.get("devices")
+    n_dev = len(jax.devices()) if n_dev_cfg is None else min(
+        int(n_dev_cfg), len(jax.devices())
+    )
+    if n_dev > 1:
+        from ..parallel.mesh import make_mesh
+
+        view_mesh = make_mesh(n_dev, "views")
+    else:
+        view_mesh = None
     with prof.phase("prior-scoring"):
-        scores = P.prior_scores_batched(
-            dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
-            mesh_arrays.face_uvs, mesh_arrays.texture, view_rots, gt_feats,
-            cos_masks, prior_cfg, window,
-            host_batch=int(pc.get("host_batch", 1000)),
-        )
+        ps = pc.get("prescreen") or {}
+        if bool(ps.get("enabled", True)):
+            scores = P.prior_scores_two_stage(
+                dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
+                mesh_arrays.face_uvs, mesh_arrays.texture, view_rots,
+                jnp.asarray(ann.crop_images), jnp.asarray(ann.target_masks),
+                gt_feats, cos_masks, prior_cfg, window,
+                host_batch=int(pc.get("host_batch", 1000)),
+                prescreen_edge=int(ps.get("edge", 224)),
+                prescreen_scale=int(ps.get("scale", 2)),
+                topk=int(ps.get("topk", 48)),
+                view_mesh=view_mesh,
+            )
+        else:
+            scores = P.prior_scores_batched(
+                dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
+                mesh_arrays.face_uvs, mesh_arrays.texture, view_rots, gt_feats,
+                cos_masks, prior_cfg, window,
+                host_batch=int(pc.get("host_batch", 1000)),
+                view_mesh=view_mesh,
+            )
         jax.block_until_ready(scores)
 
     # ---- K_rois + refine config ----
@@ -245,13 +272,19 @@ def track_sequence(
     )
     def _counted_refine_cap(rot_row, trans, K_rois_sel) -> int:
         """Per-tile face cap for refinement, counted at the init poses over
-        ALL frames with headroom for pose motion (poses move during the 100
-        Adam steps; the in-loop overflow signal in tracker/refine.py remains
-        the backstop).  Fixed caps corrupt edge-on poses silently."""
+        ALL frames with system.cap_headroom for pose motion (poses move
+        during the 100 Adam steps; the in-loop overflow signal in
+        tracker/refine.py remains the backstop).  Fixed caps corrupt
+        edge-on poses silently; system.max_faces_per_tile forces an
+        explicit cap when set."""
+        explicit = sysc.get("max_faces_per_tile")
+        if explicit:
+            return int(explicit)
         from ..ops.rasterize import project_perspective
         from ..ops.rasterize_tiled import max_tile_load
 
         sig = float(sysc["sigma"])
+        headroom = float(sysc.get("cap_headroom", 1.5))
 
         def one(R, t, K):
             vc = mesh_arrays.verts @ R + jnp.reshape(t, (1, 3))
@@ -261,7 +294,7 @@ def track_sequence(
             )
 
         worst = int(jax.vmap(one)(rot_row, jnp.asarray(trans), K_rois_sel).max())
-        cap = -(-int(worst * 1.5) // 128) * 128
+        cap = -(-int(worst * headroom) // 128) * 128
         return max(256, min(cap, int(mesh_arrays.faces.shape[0])))
 
     refine_cfg = RF.RefineConfig(

@@ -220,7 +220,7 @@ def _dino_feats_of_crops(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "dino_cfg", "window"),
+    static_argnames=("cfg", "dino_cfg", "window", "view_mesh"),
 )
 def prior_scores_and_rotations(
     dino_params: dict[str, Any],
@@ -234,6 +234,7 @@ def prior_scores_and_rotations(
     cos_masks: Array,
     cfg: PriorConfig,
     window: int,
+    view_mesh=None,
 ) -> Array:
     """Fused prior pipeline: returns the (F, N) masked-cosine score matrix.
 
@@ -243,6 +244,10 @@ def prior_scores_and_rotations(
       cos_masks: (F, P) {0,1} object masks at DINO token resolution
         (pose_initializtion.py:290,294).
       window: static render window side (compute_window).
+      view_mesh: optional jax.sharding.Mesh with a "views" axis — the
+        per-chunk view axis is shard-constrained over it, so each device
+        renders/DINO-encodes its own view slice and only the (F, N) score
+        matrix is gathered (SURVEY.md §2.3 "views" parallel axis).
     """
     if cfg.dino_dtype == "bfloat16":
         # Cast once here (outside the view-chunk map; the in-function cast
@@ -263,6 +268,12 @@ def prior_scores_and_rotations(
     Rs = jnp.concatenate([view_rotations, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))])
     n_chunks = Rs.shape[0] // chunk
     Rs = Rs.reshape(n_chunks, chunk, 3, 3)
+    if view_mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        Rs = jax.lax.with_sharding_constraint(
+            Rs, NamedSharding(view_mesh, PartitionSpec(None, "views", None, None))
+        )
 
     cos_sum = cos_masks.sum(axis=1).clip(1e-6)  # (F,)
 
@@ -326,8 +337,11 @@ def required_prior_cap(
     )
     n = view_rotations.shape[0]
     pad = (-n) % chunk
+    # Pad with the LAST REAL view (not identity): padding views feed the
+    # max-tile-load reduction, so synthetic poses must not be able to
+    # inflate the counted cap (ADVICE r2).
     Rs = jnp.concatenate(
-        [view_rotations, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))]
+        [view_rotations, jnp.broadcast_to(view_rotations[-1], (pad, 3, 3))]
     ) if pad else view_rotations
     ts = jnp.concatenate(
         [jnp.zeros((Rs.shape[0], 2)), jnp.full((Rs.shape[0], 1), distance)], axis=1
@@ -361,6 +375,7 @@ def prior_scores_batched(
     cfg: PriorConfig,
     window: int,
     host_batch: int = 1000,
+    view_mesh=None,
 ):
     """prior_scores_and_rotations in host-side slices of ``host_batch`` views.
 
@@ -374,11 +389,13 @@ def prior_scores_batched(
 
     n = view_rotations.shape[0]
     host_batch = min(host_batch, n)
-    # Pad to a multiple so every slice hits the same compiled shape.
+    # Pad to a multiple so every slice hits the same compiled shape — with
+    # the LAST REAL view, not identity: the padded array feeds the counted
+    # cap below, and synthetic poses must not inflate it (ADVICE r2).
     pad = (-n) % host_batch
     if pad:
         view_rotations = jnp.concatenate(
-            [view_rotations, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))]
+            [view_rotations, jnp.broadcast_to(view_rotations[-1], (pad, 3, 3))]
         )
     from ..utils.retry import retry_on_device_error
 
@@ -386,6 +403,7 @@ def prior_scores_batched(
         s, ov = prior_scores_and_rotations(
             dino_params, dino_cfg, verts, faces, face_uvs, texture,
             view_rotations[i : i + host_batch], gt_feats, cos_masks, cfg_l, window,
+            view_mesh=view_mesh,
         )
         return jax.block_until_ready((s, ov))
 
@@ -425,6 +443,132 @@ def prior_scores_batched(
             flush=True,
         )
     return jnp.concatenate(outs, axis=1)[:, :n]
+
+
+def prior_scores_two_stage(
+    dino_params,
+    dino_cfg,
+    verts,
+    faces,
+    face_uvs,
+    texture,
+    view_rotations,
+    crop_images,
+    target_masks,
+    gt_feats,
+    cos_masks,
+    cfg: PriorConfig,
+    window: int,
+    host_batch: int = 1000,
+    prescreen_edge: int = 224,
+    prescreen_scale: int = 2,
+    topk: int = 48,
+    view_mesh=None,
+):
+    """Two-stage prior retrieval: cheap prescreen of ALL views, full-res
+    rescoring of the per-frame top-K union.
+
+    The reference scores every one of the 6,000 prior views at full
+    resolution (render 384² -> crop 256² -> DINO @518² -> masked cosine,
+    pose_initializtion.py:188-246,294-297) even though the temporal gate
+    only ever consumes each frame's top-5/10 candidates
+    (pose_initializtion.py:298-321).  Measured round 2, that scan was HALF
+    the end-to-end wall clock (78-80 s of 160 s).  TPU redesign:
+
+      stage A  render every view at 1/``prescreen_scale`` window, DINO at
+               ``prescreen_edge`` (16² tokens vs 37² — ~6x fewer ViT FLOPs,
+               ~4x fewer raster pixels), full (F, N) cheap score matrix;
+      stage B  full-res rescore of the union of per-frame top-``topk``
+               prescreen candidates (a few hundred views, not 6,000);
+      fill     non-rescored entries get per-frame affine-calibrated
+               prescreen scores (least-squares fit of lo->hi on the
+               rescored set), clamped strictly below the frame's rescored
+               minimum — so the gate's top-k comes from full-res-scored
+               views by construction, while its global statistics (max -
+               std(ddof=1) re-acceptance bound, angle-closest-view score
+               lookup, selection.py) stay on the full-res scale.
+
+    Gate equivalence vs single-stage full-res scoring is asserted on the
+    demo sequence in tests/test_priors_window.py and tools/ab_prescreen.py.
+
+    Args:
+      crop_images: (F, 3, S, S) frame crops in [0, 1] (needed to extract
+        prescreen-resolution frame features).
+      target_masks: (F, S, S) tri-valued masks.
+      gt_feats/cos_masks: FULL-resolution frame features (stage B).
+
+    Returns (F, N) scores on the full-res scale.
+    """
+    import numpy as np
+
+    n = int(view_rotations.shape[0])
+    f_frames = int(gt_feats.shape[0])
+    # Prescreen only pays off when it prunes: below ~2 candidate sets'
+    # worth of views, score everything at full res directly.
+    if n <= 2 * topk * max(f_frames, 1) or n <= 4 * topk:
+        return prior_scores_batched(
+            dino_params, dino_cfg, verts, faces, face_uvs, texture,
+            view_rotations, gt_feats, cos_masks, cfg, window, host_batch,
+            view_mesh,
+        )
+
+    # ---- stage A: low-res prescreen of all N views ----
+    cfg_lo = dataclasses.replace(
+        cfg,
+        render_h=cfg.render_h // prescreen_scale,
+        render_w=cfg.render_w // prescreen_scale,
+        crop_size=cfg.crop_size // prescreen_scale,
+    )
+    dino_cfg_lo = dataclasses.replace(
+        dino_cfg, smaller_edge_size=prescreen_edge
+    )
+    radius, center = mesh_radius_center(verts)
+    norm_r = float(mesh_norm_radius(verts))
+    window_lo = compute_window(
+        cfg_lo, norm_r, float(cfg_lo.distance_scale * radius)
+    )
+    gt_feats_lo, cos_masks_lo = frame_gt_features(
+        dino_params, dino_cfg_lo, crop_images, target_masks, cfg.dino_dtype
+    )
+    scores_lo = prior_scores_batched(
+        dino_params, dino_cfg_lo, verts, faces, face_uvs, texture,
+        view_rotations, gt_feats_lo, cos_masks_lo, cfg_lo, window_lo,
+        host_batch, view_mesh,
+    )
+    scores_lo_np = np.asarray(scores_lo)
+
+    # ---- stage B: full-res rescore of the per-frame top-K union ----
+    k = min(topk, n)
+    top_idx = np.argpartition(-scores_lo_np, k - 1, axis=1)[:, :k]
+    idx = np.unique(top_idx.reshape(-1))
+    sub = prior_scores_batched(
+        dino_params, dino_cfg, verts, faces, face_uvs, texture,
+        view_rotations[jnp.asarray(idx)], gt_feats, cos_masks, cfg, window,
+        host_batch, view_mesh,
+    )
+    sub_np = np.asarray(sub)  # (F, |idx|)
+
+    # ---- per-frame affine calibration of the non-rescored tail ----
+    lo_sub = scores_lo_np[:, idx]
+    lo_mu = lo_sub.mean(axis=1, keepdims=True)
+    hi_mu = sub_np.mean(axis=1, keepdims=True)
+    lo_c = lo_sub - lo_mu
+    denom = (lo_c * lo_c).sum(axis=1, keepdims=True)
+    a = np.where(
+        denom > 1e-12, ((sub_np - hi_mu) * lo_c).sum(axis=1, keepdims=True)
+        / np.maximum(denom, 1e-12), 1.0,
+    )
+    b = hi_mu - a * lo_mu
+    scores = a * scores_lo_np + b
+    # Clamp the fill strictly below each frame's rescored minimum: the gate's
+    # top-k must come from full-res-scored views by CONSTRUCTION (an affine
+    # estimate from a weakly-correlated prescreen must never outrank a real
+    # score).  The prescreen already ranked these views below its top-K, so
+    # the clamp encodes exactly that ordering; max/std statistics for the
+    # re-acceptance bound (selection.py) stay on the full-res scale.
+    scores = np.minimum(scores, sub_np.min(axis=1, keepdims=True) - 1e-4)
+    scores[np.arange(f_frames)[:, None], idx[None, :]] = sub_np
+    return jnp.asarray(scores)
 
 
 def render_mesh_opencv_pose(

@@ -159,3 +159,57 @@ def test_prior_batched_counts_safe_cap(mesh, capsys):
     assert "per-tile face cap" in out and "rerunning" not in out
     s_full = np.asarray(P.prior_scores_batched(*args, cfg_full, window))
     np.testing.assert_allclose(s_small, s_full, atol=1e-5)
+
+
+def test_two_stage_prescreen_scores(mesh):
+    # Two-stage retrieval (prior_scores_two_stage): rescored columns must
+    # equal single-stage full-res scores exactly; the calibrated fill must
+    # stay on the cosine scale; small view counts fall back to single-stage.
+    verts, faces, face_uvs, texture = mesh
+    dcfg = D.DinoConfig(
+        patch_size=14, embed_dim=32, depth=1, num_heads=2, pos_grid=4,
+        smaller_edge_size=56,
+    )
+    dparams = D.init_params(jax.random.PRNGKey(0), dcfg)
+    frames, n = 1, 24
+    cfg = P.PriorConfig(
+        num_views=n, view_chunk=8, crop_size=64, render_h=192, render_w=192,
+        max_faces_per_tile=5000, dino_dtype="float32",
+    )
+    radius, _ = P.mesh_radius_center(verts)
+    window = P.compute_window(
+        cfg, float(P.mesh_norm_radius(verts)), float(cfg.distance_scale * radius)
+    )
+    rots = P.prior_view_rotations(jax.random.PRNGKey(1), cfg)
+    crop_imgs = jax.random.uniform(jax.random.PRNGKey(5), (frames, 3, 64, 64))
+    tmasks = jnp.zeros((frames, 64, 64)).at[:, 16:48, 16:48].set(1.0)
+    gt, cm = P.frame_gt_features(dparams, dcfg, crop_imgs, tmasks, "float32")
+
+    args = (dparams, dcfg, verts, faces, face_uvs, texture, rots)
+    single = np.asarray(P.prior_scores_batched(*args, gt, cm, cfg, window))
+
+    # Small-n fallback: topk*4 >= n -> identical to single-stage.
+    two_fb = np.asarray(P.prior_scores_two_stage(
+        *args, crop_imgs, tmasks, gt, cm, cfg, window,
+        prescreen_edge=28, prescreen_scale=2, topk=8,
+    ))
+    np.testing.assert_allclose(two_fb, single, atol=1e-6)
+
+    # Real two-stage: topk=4 -> prescreen + rescore + calibrated fill.
+    two = np.asarray(P.prior_scores_two_stage(
+        *args, crop_imgs, tmasks, gt, cm, cfg, window,
+        prescreen_edge=28, prescreen_scale=2, topk=4,
+    ))
+    assert two.shape == (frames, n)
+    assert np.isfinite(two).all() and np.abs(two).max() < 1.5
+    # Columns that match single-stage exactly are the rescored ones; there
+    # must be at least topk of them, and the fill clamp guarantees the
+    # per-frame argmax (the gate's primary input) is a rescored view.
+    rescored = np.where(np.abs(two - single).max(axis=0) < 1e-5)[0]
+    assert len(rescored) >= 4
+    rescored_set = set(rescored.tolist())
+    fill_cols = [j for j in range(n) if j not in rescored_set]
+    for f in range(frames):
+        assert int(np.argmax(two[f])) in rescored_set
+        # Every fill entry sits strictly below the frame's rescored minimum.
+        assert two[f][fill_cols].max() < two[f][list(rescored_set)].min()
