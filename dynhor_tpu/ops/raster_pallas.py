@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rasterize import Fragments, barycentrics_at
+from .rasterize import Fragments, barycentrics_from_rows
 from .rasterize_tiled import bin_faces
 from .silhouette_pallas import (
     _TB,
@@ -446,7 +446,9 @@ def rasterize_silhouette_pallas(
 
     gx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
     gy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
-    bary = barycentrics_at(verts_pix, faces, pix_to_face.reshape(-1), gx, gy)
+    # One-hop gather from the packed rows this function already built (the
+    # chained verts_pix[faces[fidx]] costs as much as the raster kernel).
+    bary = barycentrics_from_rows(rows_all[:, :6], pix_to_face.reshape(-1), gx, gy)
     hit_img = pix_to_face >= 0
     frag = Fragments(
         pix_to_face=pix_to_face,
@@ -549,7 +551,7 @@ def rasterize_pallas(
     zbuf_img = detile(zbuf.reshape(t_total, tile, tile))
     gx = (jnp.arange(w, dtype=jnp.float32) + 0.5)[None, :].repeat(h, 0).reshape(-1)
     gy = (jnp.arange(h, dtype=jnp.float32) + 0.5)[:, None].repeat(w, 1).reshape(-1)
-    bary = barycentrics_at(verts_pix, faces, pix_to_face.reshape(-1), gx, gy)
+    bary = barycentrics_from_rows(rows_all[:, :6], pix_to_face.reshape(-1), gx, gy)
     hit_img = pix_to_face >= 0
     frag = Fragments(
         pix_to_face=pix_to_face,

@@ -173,6 +173,35 @@ def barycentrics_at(
     return jnp.stack([w0, w1, w2], axis=-1)
 
 
+def barycentrics_from_rows(
+    rows_xy: Array, pix_to_face: Array, gx: Array, gy: Array
+) -> Array:
+    """``barycentrics_at`` from pre-packed per-face xy rows — ONE gather hop.
+
+    Args:
+      rows_xy: (F, C>=6) packed [x0 y0 x1 y1 x2 y2 ...] (differentiable;
+        e.g. ops/raster_pallas' rows_all).  The chained
+        verts_pix[faces[fidx]] gather in barycentrics_at costs as much as a
+        raster kernel at production scale; this variant reuses the packing
+        the fused raster already built.
+      pix_to_face: (P,) int32, may contain -1.
+      gx, gy: (P,) pixel-center coords.
+
+    Returns: (P, 3) barycentrics (unclamped, normalized).
+    """
+    fidx = jnp.clip(pix_to_face, 0, rows_xy.shape[0] - 1)
+    r = rows_xy[fidx]  # (P, C)
+    x0, y0, x1, y1 = r[:, 0], r[:, 1], r[:, 2], r[:, 3]
+    x2, y2 = r[:, 4], r[:, 5]
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    degen = jnp.abs(area) < 1e-12  # double-where (see rasterize chunk body)
+    inv_area = jnp.where(degen, 0.0, 1.0 / jnp.where(degen, 1.0, area))
+    w0 = _edge(x1, y1, x2, y2, gx, gy) * inv_area
+    w1 = _edge(x2, y2, x0, y0, gx, gy) * inv_area
+    w2 = _edge(x0, y0, x1, y1, gx, gy) * inv_area
+    return jnp.stack([w0, w1, w2], axis=-1)
+
+
 def interpolate_attributes(fragments: Fragments, faces: Array, vert_attrs: Array) -> Array:
     """Barycentric interpolation of per-vertex attributes at hit pixels.
 

@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .rasterize import Fragments, interpolate_attributes, interpolate_face_attributes
+from .rasterize import Fragments
 
 Array = jax.Array
 
@@ -114,9 +114,32 @@ def phong_shade(
         return jnp.where(safe, v / jnp.sqrt(n2_safe), 0.0)
 
     hit = (fragments.pix_to_face >= 0)[..., None]
-    pos = interpolate_attributes(fragments, faces, verts_cam)  # (H, W, 3)
-    nrm = _safe_unit(interpolate_attributes(fragments, faces, vert_normals_cam))
-    uv = interpolate_face_attributes(fragments, face_uvs)  # (H, W, 2)
+    # Pack all per-face shading attributes into ONE (F, 24) row tensor so
+    # each pixel does a single one-hop row gather instead of three chained
+    # faces[fidx] -> attr[...] gathers (the chained pattern measured as
+    # expensive as a whole raster kernel at production scale; same trick
+    # as ops/raster_pallas' packed rows).  The F-sized gathers here are
+    # ~13x smaller than pixel-sized ones.
+    f = faces.shape[0]
+    packed = jnp.concatenate(
+        [
+            verts_cam[faces].reshape(f, 9),
+            vert_normals_cam[faces].reshape(f, 9),
+            face_uvs.reshape(f, 6),
+        ],
+        axis=1,
+    )  # (F, 24)
+    h, w = fragments.pix_to_face.shape
+    fid = fragments.pix_to_face.reshape(-1)
+    bary = fragments.bary.reshape(-1, 3)
+    rows = packed[jnp.clip(fid, 0, f - 1)]  # (P, 24) — the ONE pixel gather
+    pos = jnp.einsum("pk,pkd->pd", bary, rows[:, 0:9].reshape(-1, 3, 3))
+    nrm = jnp.einsum("pk,pkd->pd", bary, rows[:, 9:18].reshape(-1, 3, 3))
+    uv = jnp.einsum("pk,pkd->pd", bary, rows[:, 18:24].reshape(-1, 3, 2))
+    live = (fid >= 0)[:, None]
+    pos = jnp.where(live, pos, 0.0).reshape(h, w, 3)
+    nrm = _safe_unit(jnp.where(live, nrm, 0.0).reshape(h, w, 3))
+    uv = jnp.where(live, uv, 0.0).reshape(h, w, 2)
     texel = sample_texture(texture, uv)
 
     l_dir = _safe_unit(lights.location[None, None] - pos)

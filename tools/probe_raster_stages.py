@@ -1,0 +1,101 @@
+"""Stage-level timing of the fused raster forward: binning vs row packing/
+gather vs the Pallas kernel itself (guides kernel optimization — the 8-frame
+fwd measured 46.7 ms after the one-hop bary change; what's left?)."""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+FRAMES = 8
+S = 256
+CAP = 1792
+
+
+def timeit(fn, *args, n=20, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
+def main():
+    from dynhor_tpu.ops import rasterize as rz
+    from dynhor_tpu.ops.rasterize_tiled import bin_faces
+    from dynhor_tpu.ops import raster_pallas as RP
+    from dynhor_tpu.utils import geometry as G
+    from dynhor_tpu.utils.objio import load_obj
+
+    m = load_obj("assets/shoes/1229a2e6e97e_A_basketball_shoes_.obj")
+    verts = G.center_and_normalize_verts(jnp.asarray(m.verts))
+    faces = jnp.asarray(m.faces)
+    K = jnp.array([[S * 1.2, 0, S / 2], [0, S * 1.2, S / 2], [0, 0, 1.0]])
+    rot = G.random_rotations(jax.random.PRNGKey(0), FRAMES)
+    trans = jnp.tile(jnp.array([[0.0, 0.0, 2.0]]), (FRAMES, 1))
+    vp = jax.jit(
+        jax.vmap(lambda R, t: rz.project_perspective(verts @ R + t, K))
+    )(rot, trans)
+
+    sigma = 0.25
+    margin = 6.0 * sigma + 1.0
+
+    def bins_only(vp_):
+        b = jax.vmap(
+            lambda v: bin_faces(v, faces, (S, S), 16, CAP, margin)
+        )(vp_)
+        return b.indices.sum() + b.valid.sum()
+
+    print(f"bin_faces x{FRAMES}:            {timeit(jax.jit(bins_only), vp):8.2f} ms")
+
+    def pack_and_gather(vp_):
+        def one(v):
+            bins = bin_faces(v, faces, (S, S), 16, CAP, margin)
+            t_total, mm = bins.indices.shape
+            fv_all = v[faces]
+            zero_f = jnp.zeros((faces.shape[0],), v.dtype)
+            z_ok = (fv_all[..., 2] > 1e-2).any(axis=-1)
+            rows_all = jnp.stack(
+                [fv_all[:, 0, 0], fv_all[:, 0, 1], fv_all[:, 1, 0], fv_all[:, 1, 1],
+                 fv_all[:, 2, 0], fv_all[:, 2, 1], z_ok.astype(v.dtype), zero_f,
+                 fv_all[:, 0, 2], fv_all[:, 1, 2], fv_all[:, 2, 2],
+                 zero_f, zero_f, zero_f, zero_f, zero_f], axis=-1)
+            rows = rows_all[bins.indices.reshape(-1)].reshape(t_total, mm, 16)
+            return jnp.swapaxes(rows, 1, 2).sum()
+        return jax.vmap(one)(vp_).sum()
+
+    print(f"bins+pack+gather x{FRAMES}:     {timeit(jax.jit(pack_and_gather), vp):8.2f} ms")
+
+    def fused_fwd(vp_):
+        frag, sil, _ = jax.vmap(
+            lambda v: RP.rasterize_silhouette_pallas(
+                v, faces, (S, S), max_faces=CAP
+            )
+        )(vp_)
+        return sil.sum() + frag.zbuf.sum()
+
+    print(f"fused fwd (no bary) x{FRAMES}:  {timeit(jax.jit(fused_fwd), vp):8.2f} ms")
+
+    def fused_fwd_bary(vp_):
+        frag, sil, _ = jax.vmap(
+            lambda v: RP.rasterize_silhouette_pallas(
+                v, faces, (S, S), max_faces=CAP
+            )
+        )(vp_)
+        return sil.sum() + frag.bary.sum()
+
+    print(f"fused fwd (+bary) x{FRAMES}:    {timeit(jax.jit(fused_fwd_bary), vp):8.2f} ms")
+
+    g = jax.jit(jax.grad(fused_fwd_bary))
+    print(f"fused f+b x{FRAMES}:            {timeit(g, vp):8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
