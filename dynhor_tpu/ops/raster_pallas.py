@@ -277,6 +277,108 @@ def _fused_tiles(
     return _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear)
 
 
+def _pack_tile_rows(rows_all: Array, indices: Array, valid: Array):
+    """Gather packed per-face rows into per-tile layout + pad for the
+    kernels.  Returns (rows (T_pad, 16, M_pad), counts (T_pad,))."""
+    t_total, m = indices.shape
+    rows = rows_all[indices.reshape(-1)].reshape(t_total, m, 16)
+    rows = jnp.swapaxes(rows, 1, 2)  # (T, 16, M)
+    # Invalid (padding) slots must not contribute: zero their vis row.
+    rows = rows.at[:, 6, :].multiply(
+        jax.lax.stop_gradient(valid.astype(rows.dtype))
+    )
+    pad_m = (-m) % 128
+    if pad_m:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros(rows.shape[:2] + (pad_m,), rows.dtype)], axis=2
+        )
+    counts = valid.sum(axis=1).astype(jnp.int32)
+    pad_t = (-t_total) % _TB
+    if pad_t:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((pad_t,) + rows.shape[1:], rows.dtype)], axis=0
+        )
+        counts = jnp.concatenate([counts, jnp.zeros((pad_t,), jnp.int32)])
+    return rows, jax.lax.stop_gradient(counts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _fused_tiles_invbwd(
+    rows_all: Array, indices: Array, valid: Array, inv_flat: Array,
+    inv_valid: Array, t_total: int, m: int, tile: int, tiles_w: int,
+    sigma: float, dist_mode: str, znear: float,
+):
+    """_fused_tiles with the GATHER inside the custom-VJP boundary.
+
+    The backward maps per-(tile, slot) row gradients back to faces via the
+    analytic inverse (rasterize_tiled.face_tile_inverse) — an (F x K)-row
+    gather — instead of XLA's (T x M)-row scatter-add transpose of the
+    forward gather (measured ~60 ms of the 8-frame backward; the Pallas
+    kernels are ~5 ms)."""
+    rows, counts = _pack_tile_rows(rows_all, indices, valid)
+    return _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear)
+
+
+def _fused_tiles_invbwd_fwd(
+    rows_all, indices, valid, inv_flat, inv_valid, t_total, m, tile, tiles_w,
+    sigma, dist_mode, znear,
+):
+    rows, counts = _pack_tile_rows(rows_all, indices, valid)
+    out = _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear)
+    res = (rows, counts, inv_flat, inv_valid)
+    return out, res
+
+
+def _fused_tiles_invbwd_bwd(
+    t_total, m, tile, tiles_w, sigma, dist_mode, znear, res, cts
+):
+    import numpy as _np
+
+    rows, counts, inv_flat, inv_valid = res
+    n_faces = inv_flat.shape[0]
+    g_mass, _, _ = cts  # zmin/jbest are hard outputs: zero cotangent path
+    t_pad = rows.shape[0]
+    p = tile * tile
+    lanes = -(-p // (8 * 128)) * 128
+    g_lanes = (
+        jnp.zeros((t_pad, 8 * lanes), g_mass.dtype).at[:, :p].set(g_mass)
+        .reshape(t_pad, 8, lanes)
+    )
+    kern = functools.partial(
+        _sil_bwd_kernel, tile=tile, tiles_w=tiles_w, sigma=sigma,
+        dist_mode=dist_mode,
+    )
+    m_pad = rows.shape[2]
+    drows = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((t_pad, 16, m_pad), jnp.float32),
+        grid=(t_pad,),
+        in_specs=[
+            pl.BlockSpec((t_pad, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 16, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, m_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(counts.reshape(t_pad, 1), rows, g_lanes)
+    # Analytic inverse: gather each face's (tile, slot) gradient rows.
+    flat = jnp.swapaxes(drows[:t_total, :, :m], 1, 2).reshape(t_total * m, 16)
+    k = inv_flat.shape[1]
+    picked = flat[inv_flat.reshape(-1)].reshape(n_faces, k, 16)
+    d_rows_all = jnp.where(inv_valid[..., None], picked, 0.0).sum(axis=1)
+    zero_i = _np.zeros(inv_flat.shape, jax.dtypes.float0)
+    return (
+        d_rows_all,
+        _np.zeros((t_total, m), jax.dtypes.float0),
+        _np.zeros((t_total, m), jax.dtypes.float0),
+        zero_i,
+        _np.zeros(inv_valid.shape, jax.dtypes.float0),
+    )
+
+
+_fused_tiles_invbwd.defvjp(_fused_tiles_invbwd_fwd, _fused_tiles_invbwd_bwd)
+
+
 def _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear):
     t, _, m = rows.shape
     p = tile * tile
@@ -349,7 +451,10 @@ _fused_tiles.defvjp(_fused_tiles_fwd, _fused_tiles_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("image_size", "tile", "max_faces", "sigma", "znear", "dist_mode"),
+    static_argnames=(
+        "image_size", "tile", "max_faces", "sigma", "znear", "dist_mode",
+        "max_tiles_per_face",
+    ),
 )
 def rasterize_silhouette_pallas(
     verts_pix: Array,
@@ -360,25 +465,35 @@ def rasterize_silhouette_pallas(
     max_faces: int = 640,
     znear: float = 1e-2,
     dist_mode: str = "linear",
+    max_tiles_per_face: int = 32,
 ) -> tuple[Fragments, Array, Array]:
     """Fused replacement for rasterize_tiled + soft_silhouette_pallas.
 
     One bin_faces (at the silhouette's margin — a superset of the hard
     raster's candidates; the in-kernel inside/z tests keep hard-raster
-    results exact), one fused kernel.
+    results exact), one fused kernel.  The silhouette backward routes
+    per-(tile, slot) gradients to faces via the analytic inverse mapping
+    (face_tile_inverse) instead of a scatter-add.
 
     Returns (Fragments, soft_silhouette (H, W), overflow () int32).
-    The overflow count is the number of face-tile pairs DROPPED by the
-    static per-tile cap — nonzero means silently corrupted output, so
-    callers must surface it (the refine/joint loops carry the max across
-    all steps and warn host-side; VERDICT r1 weak #5).
+    The overflow count is the number of face-tile pairs DROPPED — by the
+    static per-tile cap (corrupts values) or by ``max_tiles_per_face`` in
+    the backward inverse (loses gradient contributions of faces spanning
+    more than that many tiles).  Nonzero means silently corrupted output,
+    so callers must surface it (the refine/joint loops carry the max
+    across all steps and warn host-side; VERDICT r1 weak #5).
     """
+    from .rasterize_tiled import face_tile_inverse
+
     h, w = image_size
-    bins = bin_faces(
-        verts_pix, faces, image_size, tile, max_faces, margin=6.0 * sigma + 1.0
-    )
+    margin = 6.0 * sigma + 1.0
+    bins = bin_faces(verts_pix, faces, image_size, tile, max_faces, margin=margin)
     t_total, m = bins.indices.shape
     th, tw = -(-h // tile), -(-w // tile)
+    inv_flat, inv_valid, k_overflow = face_tile_inverse(
+        verts_pix, faces, image_size, tile, max_faces, margin,
+        k_max=max_tiles_per_face,
+    )
 
     # Pack per-FACE rows once (F-sized, cheap), then compact per tile with
     # ONE contiguous row gather.  The naive verts_pix[faces[bins.indices]]
@@ -401,30 +516,10 @@ def rasterize_silhouette_pallas(
         ],
         axis=-1,
     )  # (F, 16): xy rows differentiable; vis/z hard (reference semantics)
-    rows = rows_all[bins.indices.reshape(-1)].reshape(t_total, m, 16)
-    rows = jnp.swapaxes(rows, 1, 2)  # (T, 16, M)
-    # Invalid (padding) slots must not contribute: zero their vis row.
-    rows = rows.at[:, 6, :].multiply(
-        jax.lax.stop_gradient(bins.valid.astype(verts_pix.dtype))
+    mass, zmin, jbest = _fused_tiles_invbwd(
+        rows_all, bins.indices, bins.valid, inv_flat, inv_valid,
+        t_total, m, tile, tw, sigma, dist_mode, znear,
     )
-
-    pad_m = (-rows.shape[2]) % 128
-    if pad_m:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros(rows.shape[:2] + (pad_m,), rows.dtype)], axis=2
-        )
-    # Per-tile valid-slot counts: bin_faces packs overlapping faces as a
-    # contiguous low-slot prefix, so the kernels loop only cdiv(count, FC)
-    # chunks per tile (compute scales with the tile's true load).
-    counts = bins.valid.sum(axis=1).astype(jnp.int32)  # (T,)
-    pad_t = (-t_total) % _TB
-    if pad_t:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((pad_t,) + rows.shape[1:], rows.dtype)], axis=0
-        )
-        counts = jnp.concatenate([counts, jnp.zeros((pad_t,), jnp.int32)])
-    counts = jax.lax.stop_gradient(counts)
-    mass, zmin, jbest = _fused_tiles(rows, counts, tile, tw, sigma, dist_mode, znear)
     mass, zmin, jbest = mass[:t_total], zmin[:t_total], jbest[:t_total]
 
     sil = 1.0 - jnp.exp(-mass)
@@ -455,7 +550,7 @@ def rasterize_silhouette_pallas(
         bary=jnp.where(hit_img.reshape(-1, 1), bary, 0.0).reshape(h, w, 3),
         zbuf=zbuf_img,
     )
-    return frag, sil_img, bins.overflow
+    return frag, sil_img, bins.overflow + k_overflow
 
 
 @functools.partial(

@@ -97,6 +97,96 @@ def bin_faces(
     return FaceBins(indices, valid, overflow)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("image_size", "tile", "max_faces", "margin", "k_max")
+)
+def face_tile_inverse(
+    verts_pix: Array,
+    faces: Array,
+    image_size: tuple[int, int],
+    tile: int = 16,
+    max_faces: int = 640,
+    margin: float = 2.0,
+    k_max: int = 32,
+):
+    """Inverse of ``bin_faces``: for each FACE, the (tile, slot) positions
+    it was packed into, as flat indices into a (T_pad * max_faces) array.
+
+    A face's candidate tiles are exactly the grid rectangle its
+    margin-expanded bbox overlaps, and ``bin_faces`` packs slots in
+    ascending face-id order, so slot(t, f) is the overlap-matrix cumsum —
+    both analytic.  This turns the backward of the per-tile row gather
+    from a (T x max_faces)-row SCATTER-add into an (F x k_max)-row GATHER
+    (measured: the scatter was ~60 ms of the 8-frame raster backward; the
+    kernels themselves are ~5 ms).
+
+    Returns (inv_flat (F, k_max) int32, inv_valid (F, k_max) bool,
+    k_overflow () int32 — face-tile pairs whose gradient contributions are
+    DROPPED because a face overlaps more than k_max tiles; callers must
+    surface it like bin overflow).
+    """
+    h, w = image_size
+    th, tw = -(-h // tile), -(-w // tile)
+    t_total = th * tw
+    bboxes, vis = face_screen_bboxes(verts_pix, faces)
+    f = faces.shape[0]
+    max_faces = min(max_faces, f)
+
+    ty = jnp.arange(th) * tile
+    tx = jnp.arange(tw) * tile
+    x1 = bboxes[:, 0] - margin
+    y1 = bboxes[:, 1] - margin
+    x2 = bboxes[:, 2] + margin
+    y2 = bboxes[:, 3] + margin
+    ox = (x1[None, :] < (tx[:, None] + tile)) & (x2[None, :] > tx[:, None])
+    oy = (y1[None, :] < (ty[:, None] + tile)) & (y2[None, :] > ty[:, None])
+    overlap = (oy[:, None, :] & ox[None, :, :]).reshape(t_total, f)
+    overlap = overlap & vis[None, :]
+    # Slot of face f in tile t = its rank among the tile's overlapping ids
+    # (bin_faces packs ascending ids via top_k of -ids).
+    slots = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1  # (T, F)
+
+    # Tile rectangle of each face (clamped to the grid).
+    tx0 = jnp.clip(jnp.floor(x1 / tile).astype(jnp.int32), 0, tw - 1)
+    tx1 = jnp.clip(jnp.floor((x2 - 1e-6) / tile).astype(jnp.int32), 0, tw - 1)
+    ty0 = jnp.clip(jnp.floor(y1 / tile).astype(jnp.int32), 0, th - 1)
+    ty1 = jnp.clip(jnp.floor((y2 - 1e-6) / tile).astype(jnp.int32), 0, th - 1)
+    wx = tx1 - tx0 + 1
+    wy = ty1 - ty0 + 1
+    n_rect = wx * wy
+    kk = jnp.arange(k_max, dtype=jnp.int32)
+    tx_k = tx0[:, None] + jnp.minimum(kk[None, :] % jnp.maximum(wx, 1)[:, None], wx[:, None] - 1)
+    ty_k = ty0[:, None] + jnp.minimum(kk[None, :] // jnp.maximum(wx, 1)[:, None], wy[:, None] - 1)
+    t_k = ty_k * tw + tx_k  # (F, K)
+    in_rect = kk[None, :] < n_rect[:, None]
+
+    # NO element gathers — they measured as slow as the scatter this
+    # function exists to remove (~20M elements/s on this TPU):
+    #  * slot_k = slots[t_k, f] is evaluated as a fused one-hot reduction
+    #    over the (small) tile axis instead of a (F x K) scalar gather;
+    #  * in_rect & vis & in_grid  =>  overlap(t_k, f) exactly (the rect is
+    #    derived with bin_faces' strict edge rules and clamped to the grid;
+    #    in_grid guards faces whose whole bbox lies outside the image,
+    #    where clamping would fabricate non-overlapping tiles);
+    #  * slot_k < counts[t_k]  <=>  slot_k < max_faces (slot is the face's
+    #    rank among the tile's overlapping ids, so slot < n_overlap always;
+    #    counts = min(n_overlap, max_faces)).
+    slots_ft = slots.T  # (F, T)
+    tt = jnp.arange(t_total, dtype=jnp.int32)
+    slot_k = jnp.where(
+        t_k[..., None] == tt, slots_ft[:, None, :], 0
+    ).sum(axis=-1)  # (F, K)
+    in_grid = (x1 < w) & (x2 > 0.0) & (y1 < h) & (y2 > 0.0)
+    valid = (
+        in_rect
+        & (vis & in_grid)[:, None]
+        & (slot_k < max_faces)
+    )
+    inv_flat = jnp.where(valid, t_k * max_faces + slot_k, 0)
+    k_overflow = jnp.where(vis, jax.nn.relu(n_rect - k_max), 0).sum().astype(jnp.int32)
+    return inv_flat.astype(jnp.int32), valid, k_overflow
+
+
 @functools.partial(jax.jit, static_argnames=("image_size", "tile", "margin"))
 def max_tile_load(
     verts_pix: Array,
