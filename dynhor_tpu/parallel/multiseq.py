@@ -98,16 +98,73 @@ def refine_poses_multi(
     dino_cfg: dino_mod.DinoConfig | None,
     cfg: RF.RefineConfig = RF.RefineConfig(),
     iters_per_launch: int = 25,
+    frames_per_launch: int | None = None,
 ) -> RF.RefineResult:
     """Like tracker.refine.refine_poses, but vmapped over PER-FRAME meshes
     (the pooled multi-sequence batch).  The pooled frame axis is the shard
     axis for multi-chip.  Runs in host-side launches of
     ``iters_per_launch`` steps with carried state + transient-fault retry
     (monolithic multi-minute device programs trip some TPU runtimes'
-    watchdog — same structure as refine_poses)."""
+    watchdog — same structure as refine_poses).
+
+    ``frames_per_launch`` micro-batches the FRAME axis host-side: fine-mode
+    frames are independent (per-frame params/Adam state, summed loss), so
+    slicing the pool is numerically exact, and it bounds HBM — 40 pooled
+    fine-mode frames OOM a single 16 GB v5e (ViT activations + per-frame
+    padded meshes) while 2x20 fit.  Default: 16 for fine mode, whole pool
+    for coarse.  The last group is padded to the group size so every group
+    reuses one compiled launch."""
     import jax
 
     from ..utils.retry import retry_on_device_error
+
+    n_pool = int(rot_init_row.shape[0])
+    if frames_per_launch is None:
+        # ~16 fine-mode frames fit one 16 GB chip; the shard axis divides
+        # per-device residency, so the cap scales with visible devices.
+        frames_per_launch = (
+            16 * max(1, len(jax.devices())) if cfg.mode == "fine" else n_pool
+        )
+    g = max(1, min(frames_per_launch, n_pool))
+    if g < n_pool:
+        if trans_init.ndim == 2:
+            trans_init = trans_init[:, None, :]
+        pad = (-n_pool) % g
+
+        def _pad(x):
+            if pad == 0:
+                return x
+            return jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+
+        batch_p = MultiSeqBatch(
+            *(_pad(a) for a in batch[:4]),
+            RF.FrameTargets(*(_pad(x) for x in batch.targets)),
+            np.concatenate([batch.seq_id, np.repeat(batch.seq_id[:1], pad)]),
+        )
+        rot_p, trans_p = _pad(rot_init_row), _pad(trans_init)
+        parts = []
+        for i in range(0, n_pool + pad, g):
+            sl = slice(i, i + g)
+            parts.append(
+                refine_poses_multi(
+                    MultiSeqBatch(
+                        *(a[sl] for a in batch_p[:4]),
+                        RF.FrameTargets(*(x[sl] for x in batch_p.targets)),
+                        batch_p.seq_id[sl],
+                    ),
+                    rot_p[sl], trans_p[sl], dino_params, dino_cfg, cfg,
+                    iters_per_launch, frames_per_launch=g,
+                )
+            )
+        return RF.RefineResult(
+            rot6d=jnp.concatenate([p.rot6d for p in parts])[:n_pool],
+            translations=jnp.concatenate([p.translations for p in parts])[:n_pool],
+            final_loss=jnp.concatenate([p.final_loss for p in parts])[:n_pool],
+            final_iou=jnp.concatenate([p.final_iou for p in parts])[:n_pool],
+            max_overflow=jnp.stack(
+                [p.max_overflow for p in parts]
+            ).max(),
+        )
 
     total = cfg.num_iterations
     chunk = max(min(iters_per_launch, total), 1)

@@ -518,6 +518,11 @@ def prior_scores_two_stage(
         render_h=cfg.render_h // prescreen_scale,
         render_w=cfg.render_w // prescreen_scale,
         crop_size=cfg.crop_size // prescreen_scale,
+        # Per-view FLOPs shrink ~prescreen_scale^2 but the half-window
+        # raster's counted per-tile cap RISES (denser tiles), so scale the
+        # view batch by prescreen_scale only: better MXU utilization in the
+        # prescreen ViT without risking raster-buffer OOM.
+        view_chunk=cfg.view_chunk * prescreen_scale,
     )
     dino_cfg_lo = dataclasses.replace(
         dino_cfg, smaller_edge_size=prescreen_edge
