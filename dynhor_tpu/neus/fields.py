@@ -7,13 +7,23 @@ encoding, Mueller et al. 2022 — PAPERS.md), NOT ported.
 
 Two encoder families share the same SDF/color heads:
   * "pe":   frequency positional encoding + 8x256 MLP with skip, geometric
-            sphere initialization (classic NeuS).
+            sphere initialization (classic NeuS).  With the occupancy-grid
+            sampler this is the production path (fastest AND best quality
+            on TPU — BASELINE.md encoder matrix).
   * "hash": multiresolution hash grid + small MLPs (instant-nsr-pl path);
             the encoding is one big batched gather + trilerp (8 fused
-            gathers from a flattened table, level-vectorized).
-  * "triplane": three axis-aligned feature planes + the same small MLPs —
-            the TPU-native fast path (12 gathers/point; see the design
-            note above triplane_encode).
+            gathers from a flattened table, level-vectorized).  Kept for
+            instant-nsr-pl parity experiments; gather-bound on TPU.
+
+Design note — a third encoder (triplane: three axis-aligned feature
+planes, TensoRF/EG3D lineage, 12 gathers/point vs the hash grid's 8*L)
+was built and evaluated in rounds 2-3 as the TPU-native explicit-feature
+fast path.  It ran at 8.5K rays/s but its geometry underfit structurally
+(PSNR 32.7-32.9 dB / Chamfer ~0.076 vs pe+occgrid's 40.4 dB / 0.0222,
+unchanged by TV regularization + lower grid lr), so it was cut per the
+quality bar: on TPU the pe MLP rides the MXU and needs no explicit
+features to be fast — the occupancy-grid sampler, not the encoder, is
+what makes the fast path fast (BASELINE.md round 2-3).
 
 Everything is functional: ``init_*_params(key) -> pytree``,
 ``sdf_fn(params, x) -> (sdf, feat)``; gradients for Eikonal/normals come
@@ -37,7 +47,7 @@ Array = jax.Array
 
 @dataclasses.dataclass(frozen=True)
 class SDFConfig:
-    encoder: str = "pe"  # "pe" | "hash" | "triplane"
+    encoder: str = "pe"  # "pe" | "hash"
     # pe encoder / MLP
     pe_freqs: int = 6
     hidden: int = 256
@@ -53,14 +63,8 @@ class SDFConfig:
     hash_max_res: int = 2048
     hash_hidden: int = 64
     hash_depth: int = 2
-    # triplane encoder (TPU-native fast path): three axis-aligned feature
-    # planes, bilinear lookup = 12 gathers/point vs the hash grid's 8*L
-    # (= 128) — an order of magnitude fewer random accesses, which is the
-    # binding constraint on TPU (XLA gathers, no CUDA-style VMEM atomics).
-    triplane_res: int = 512
-    triplane_features: int = 16
     # SDF spatial-gradient mode: "auto" = analytic (reverse) for the smooth
-    # PE field; linearize-based forward mode for gather encoders (one
+    # PE field; linearize-based forward mode for the gather encoder (one
     # primal evaluation + three gather-free tangent replays — reverse mode
     # per point scatters into the table and central differences cost 6
     # extra gathered evaluations).
@@ -239,89 +243,6 @@ def sdf_hash_forward(params, x: Array, cfg: SDFConfig) -> tuple[Array, Array]:
 
 
 # ---------------------------------------------------------------------------
-# Triplane encoding (TPU-native instant-NGP-class fast path)
-# ---------------------------------------------------------------------------
-#
-# Design note (SURVEY §2.4 capability target, redesigned TPU-first): the
-# instant-NGP hash grid's 8 corner lookups x L levels per point are random
-# HBM accesses — the pattern CUDA serves from L2 but XLA/TPU must lower to
-# slow gathers (measured ~0.1K rays/s vs 16K for the PE path).  The
-# idiomatic TPU analog of "explicit spatial features + tiny MLP" is a
-# PLANAR factorization (TensoRF/EG3D lineage): three axis-aligned feature
-# planes with bilinear lookup — 12 gathers/point total, same tiny-MLP
-# decoding, comparable quality at object scale.  encoder="hash" remains
-# available for parity experiments.
-
-
-def init_triplane_params(key: Array, cfg: SDFConfig) -> dict[str, Any]:
-    keys = jax.random.split(key, 5)
-    r, f = cfg.triplane_res, cfg.triplane_features
-    planes = 1e-4 * jax.random.uniform(
-        keys[0], (3, r, r, f), minval=-1.0, maxval=1.0
-    )
-    enc_dim = 3 * f
-    dims = [enc_dim] + [cfg.hash_hidden] * cfg.hash_depth + [1 + cfg.feat_dim]
-    mlp = []
-    for i in range(len(dims) - 1):
-        std = np.sqrt(2.0 / dims[i])
-        mlp.append(
-            {
-                "w": std * jax.random.normal(keys[1 + i % 3], (dims[i], dims[i + 1])),
-                "b": jnp.zeros((dims[i + 1],)),
-            }
-        )
-    mlp[-1]["w"] = 0.01 * mlp[-1]["w"]  # sphere geometry from the residual
-    return {"planes": planes, "mlp": mlp}
-
-
-def triplane_encode(planes: Array, x01: Array, cfg: SDFConfig) -> Array:
-    """Bilinear triplane features.
-
-    Args:
-      planes: (3, R, R, F) — XY, XZ, YZ feature planes.
-      x01: (..., 3) points in [0, 1].
-
-    Returns: (..., 3*F).
-    """
-    r, f = planes.shape[1], planes.shape[3]
-    flat = planes.reshape(3 * r * r, f)
-    # Plane p uses coordinate pair axes[p] of (x, y, z).
-    pairs = jnp.asarray([[0, 1], [0, 2], [1, 2]], jnp.int32)
-    uv = x01[..., pairs] * (r - 1)  # (..., 3, 2)
-    u0 = jnp.clip(jnp.floor(uv), 0, r - 2)  # clamp BEFORE frac: at the top
-    frac = uv - u0  # boundary (uv = r-1) frac becomes 1.0 -> exact node value
-    u0i = u0.astype(jnp.int32)
-    plane_off = (jnp.arange(3, dtype=jnp.int32) * (r * r))  # (3,)
-
-    feats = 0.0
-    for cu in range(2):
-        for cv in range(2):
-            iu = u0i[..., 0] + cu  # (..., 3)
-            iv = u0i[..., 1] + cv
-            idx = plane_off + iu * r + iv  # (..., 3)
-            w = (
-                jnp.where(cu == 1, frac[..., 0], 1.0 - frac[..., 0])
-                * jnp.where(cv == 1, frac[..., 1], 1.0 - frac[..., 1])
-            )[..., None]
-            feats = feats + flat[idx] * w  # (..., 3, F)
-    return feats.reshape(feats.shape[:-2] + (3 * f,))
-
-
-def sdf_triplane_forward(params, x: Array, cfg: SDFConfig) -> tuple[Array, Array]:
-    """x in [-bound, bound]^3 -> (sdf, feat); sphere-residual head like
-    sdf_hash_forward (weight-slice head — see that function's note)."""
-    x01 = jnp.clip((x / cfg.bound + 1.0) / 2.0, 0.0, 1.0)
-    h = triplane_encode(params["planes"], x01, cfg)
-    for lyr in params["mlp"][:-1]:
-        h = jax.nn.relu(h @ lyr["w"] + lyr["b"])
-    w, b = params["mlp"][-1]["w"], params["mlp"][-1]["b"]
-    sdf = (h @ w[:, :1] + b[:1])[..., 0]
-    feat = h @ w[:, 1:] + b[1:]
-    sphere = jnp.linalg.norm(x, axis=-1) - cfg.geometric_init_radius
-    return sdf + sphere, feat
-
-
-# ---------------------------------------------------------------------------
 # Color head + variance (shared)
 # ---------------------------------------------------------------------------
 
@@ -370,8 +291,6 @@ def init_field_params(key: Array, cfg: SDFConfig) -> dict[str, Any]:
     k1, k2 = jax.random.split(key)
     if cfg.encoder == "hash":
         sdf = init_hash_params(k1, cfg)
-    elif cfg.encoder == "triplane":
-        sdf = init_triplane_params(k1, cfg)
     else:
         sdf = init_sdf_pe_params(k1, cfg)
     return {
@@ -384,8 +303,6 @@ def init_field_params(key: Array, cfg: SDFConfig) -> dict[str, Any]:
 def sdf_forward(params, x, cfg: SDFConfig):
     if cfg.encoder == "hash":
         return sdf_hash_forward(params["sdf"], x, cfg)
-    if cfg.encoder == "triplane":
-        return sdf_triplane_forward(params["sdf"], x, cfg)
     return sdf_pe_forward(params["sdf"], x, cfg)
 
 
@@ -404,7 +321,7 @@ def sdf_grad(params, x, cfg: SDFConfig) -> Array:
     """
     mode = cfg.grad_mode
     if mode == "auto":
-        mode = "forward" if cfg.encoder in ("hash", "triplane") else "analytic"
+        mode = "forward" if cfg.encoder == "hash" else "analytic"
     if mode == "analytic":
         flat = x.reshape(-1, 3)
         g = jax.vmap(jax.grad(lambda p: sdf_only(params, p, cfg)))(flat)

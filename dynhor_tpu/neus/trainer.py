@@ -68,13 +68,9 @@ class TrainConfig:
     log_every: int = 500
     checkpoint_every: int = 5000
     seed: int = 0
-    # lr multiplier for explicit feature grids (hash table / triplane
-    # planes); 1.0 leaves pe-only configs untouched.
+    # lr multiplier for the explicit hash feature table; 1.0 leaves
+    # pe-only configs untouched.
     grid_lr_mult: float = 20.0
-    # Total-variation regularization on triplane feature planes (smooths
-    # the bilinear field so eikonal/normal supervision stops fighting
-    # cell-boundary noise; VERDICT r2 #5).  0 = off.
-    lw_tv_planes: float = 0.0
     # StableNormal maps are OpenGL-convention camera normals (x right,
     # y up, z toward viewer); OpenCV cameras flip y/z.
     normal_flip_yz: bool = True
@@ -172,15 +168,6 @@ def make_train_step(
             )
         loss = tcfg.lw_rgb * l_rgb + tcfg.lw_mask * l_mask + tcfg.lw_eikonal * eik
         logs = {"rgb": l_rgb, "mask": l_mask, "eikonal": eik, "inv_s": out.inv_s}
-
-        if tcfg.lw_tv_planes > 0 and "planes" in params.get("sdf", {}):
-            pl_ = params["sdf"]["planes"]  # (3, R, R, F)
-            tv = (
-                jnp.square(pl_[:, 1:] - pl_[:, :-1]).mean()
-                + jnp.square(pl_[:, :, 1:] - pl_[:, :, :-1]).mean()
-            )
-            loss = loss + tcfg.lw_tv_planes * tv
-            logs["tv_planes"] = tv
 
         if tcfg.lw_shell > 0:
             k_dir, k_rad = jax.random.split(k_shell)
@@ -290,14 +277,14 @@ def make_optimizer(tcfg: TrainConfig):
     # normal loss near grazing surfaces) can kick the field into the
     # no-zero-crossing basin mid-training (observed: psnr 32 -> collapse
     # between steps 1k-2k on a seed change).
-    # Explicit feature grids (hash table / triplanes) get a higher lr than
-    # the MLPs (TensoRF/instant-NGP practice — each grid cell sees few
-    # gradient updates, so per-cell steps must be larger).
+    # The explicit hash feature table gets a higher lr than the MLPs
+    # (instant-NGP practice — each grid cell sees few gradient updates, so
+    # per-cell steps must be larger).
 
     def label(params):
         return jax.tree_util.tree_map_with_path(
             lambda path, _: "grid"
-            if any(getattr(k, "key", None) in ("table", "planes") for k in path)
+            if any(getattr(k, "key", None) == "table" for k in path)
             else "net",
             params,
         )

@@ -75,7 +75,6 @@ def main() -> None:
         log_every=int(rc.get("log_every", 500)),
         checkpoint_every=int(rc.get("checkpoint_every", 5000)),
         grid_lr_mult=float(rc.get("grid_lr_mult", 20.0)),
-        lw_tv_planes=float(rc.get("lw_tv_planes", 0.0)),
     )
 
     board = Board(exp_dir)

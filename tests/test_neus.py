@@ -224,45 +224,6 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     assert all(jax.tree.leaves(tree_eq))
 
-
-def test_triplane_encoder_field():
-    # TPU-native fast path: init at ~sphere, forward shapes, bilinear
-    # interpolation consistency and forward-mode gradients.
-    cfg = F.SDFConfig(encoder="triplane", triplane_res=32, triplane_features=4,
-                      feat_dim=16, hash_hidden=32, hash_depth=2)
-    params = F.init_field_params(jax.random.PRNGKey(0), cfg)
-    pts = jax.random.normal(jax.random.PRNGKey(1), (64, 3)) * 0.4
-    sdf, feat = F.sdf_forward(params, pts, cfg)
-    assert sdf.shape == (64,) and feat.shape == (64, 16)
-    # Near-sphere at init (planes ~1e-4, mlp head 0.01-scaled).
-    sphere = np.linalg.norm(np.asarray(pts), axis=-1) - cfg.geometric_init_radius
-    np.testing.assert_allclose(np.asarray(sdf), sphere, atol=5e-3)
-    # forward-mode grads ~ finite differences
-    g = np.asarray(F.sdf_grad(params, pts, cfg))
-    eps = 1e-3
-    for ax in range(3):
-        d = np.zeros(3, np.float32); d[ax] = eps
-        s1, _ = F.sdf_forward(params, pts + d, cfg)
-        s0, _ = F.sdf_forward(params, pts - d, cfg)
-        fd = (np.asarray(s1) - np.asarray(s0)) / (2 * eps)
-        np.testing.assert_allclose(g[:, ax], fd, atol=2e-2)
-
-
-def test_triplane_encode_bilinear_exact():
-    # At exact grid nodes the encoding equals the node features.
-    cfg = F.SDFConfig(encoder="triplane", triplane_res=9, triplane_features=2)
-    key = jax.random.PRNGKey(0)
-    planes = jax.random.normal(key, (3, 9, 9, 2))
-    # Node (u, v) = (3, 5) of each plane <-> x01 chosen per plane pair.
-    x01 = jnp.asarray([[3 / 8, 5 / 8, 0.0]])  # XY plane sees (u=x, v=y)
-    out = np.asarray(F.triplane_encode(planes, x01, cfg))[0]
-    np.testing.assert_allclose(out[:2], np.asarray(planes[0, 3, 5]), atol=1e-5)
-    # Top-boundary exactness (frac clamped AFTER floor would break this).
-    x01b = jnp.asarray([[1.0, 1.0, 1.0]])
-    outb = np.asarray(F.triplane_encode(planes, x01b, cfg))[0]
-    np.testing.assert_allclose(outb[:2], np.asarray(planes[0, 8, 8]), atol=1e-5)
-
-
 def test_occgrid_sampler_renders():
     # Fast path: occupancy grid from the init sphere, occgrid sampling; the
     # render must produce sane opacity for rays through the sphere vs misses.
