@@ -50,6 +50,10 @@ DEFAULTS: dict[str, Any] = {
         },
         "dino": {
             "checkpoint": None,  # path to torch .pth / .npz; random if None
+            # torch.hub family name (reference dino.py:5 hard-codes vitb14);
+            # vits14 / vitl14 supported too — checkpoints auto-infer their
+            # architecture at load (models/dino.convert_torch_state_dict).
+            "model": "dinov2_vitb14",
             "smaller_edge_size": 518,  # dino.py:5
         },
         "crop_size": 256,  # constants.py:2

@@ -1,10 +1,12 @@
-"""DINOv2 ViT-B/14 in pure JAX (functional, scan-over-layers).
+"""DINOv2 ViT in pure JAX (functional, scan-over-layers).
 
 Replaces the frozen torch.hub ``dinov2_vitb14`` wrapper
 (ObjTracker/dino.py:4-22), which the reference uses both as a retrieval
 embedder for prior-view selection and as a differentiable perceptual-loss
 backbone (gradients flow THROUGH the frozen weights into the rendered
-image — pose_initializtion.py:170-184).
+image — pose_initializtion.py:170-184).  The whole head-dim-64 DINOv2
+family is supported (vits14 / vitb14 / vitl14 — MODEL_PRESETS); vitb14 is
+the reference default.
 
 TPU design notes:
   * Patch embedding is a patch-unfold + one big matmul (MXU) rather than a
@@ -57,6 +59,26 @@ class DinoConfig:
     def feat_size(self) -> int:
         # reference dino.py:16: smaller_edge_size // patch_size
         return self.smaller_edge_size // self.patch_size
+
+
+# The torch.hub DINOv2 family (the reference hard-codes 'dinov2_vitb14',
+# ObjTracker/dino.py:5; s/b/l share the block structure — all at head
+# dim 64).  vitg14 uses a SwiGLU FFN and is not supported.
+MODEL_PRESETS: dict[str, dict[str, int]] = {
+    "dinov2_vits14": {"embed_dim": 384, "depth": 12, "num_heads": 6},
+    "dinov2_vitb14": {"embed_dim": 768, "depth": 12, "num_heads": 12},
+    "dinov2_vitl14": {"embed_dim": 1024, "depth": 24, "num_heads": 16},
+}
+
+
+def config_for_model(name: str, **overrides) -> DinoConfig:
+    """DinoConfig for a torch.hub DINOv2 model name (see MODEL_PRESETS)."""
+    if name not in MODEL_PRESETS:
+        raise ValueError(
+            f"unknown DINOv2 model {name!r}; supported: {sorted(MODEL_PRESETS)} "
+            "(vitg14's SwiGLU FFN is not implemented)"
+        )
+    return dataclasses.replace(DinoConfig(), **MODEL_PRESETS[name], **overrides)
 
 
 def init_params(key: Array, cfg: DinoConfig = DinoConfig()) -> dict[str, Any]:
@@ -226,6 +248,11 @@ def convert_torch_state_dict(sd: dict[str, Any], cfg: DinoConfig = DinoConfig())
     (``blocks.N.attn.qkv.weight`` ...) or HuggingFace transformers naming
     (``encoder.layer.N.attention.attention.query.weight`` ...).
     Values may be torch tensors or numpy arrays.
+
+    The architecture (embed_dim / depth / num_heads) is INFERRED from the
+    state_dict, so any model of the supported DINOv2 family (vits14 /
+    vitb14 / vitl14 — all at head dim 64) loads without pre-configuring
+    ``cfg``; cfg supplies the non-weight knobs (smaller_edge_size, eps).
     """
 
     def a(t):
@@ -237,7 +264,22 @@ def convert_torch_state_dict(sd: dict[str, Any], cfg: DinoConfig = DinoConfig())
         return k in sd
 
     official = has("blocks.0.attn.qkv.weight") or has("patch_embed.proj.weight")
-    d = cfg.embed_dim
+    cls_key = "cls_token" if official else "embeddings.cls_token"
+    d = int(np.shape(sd[cls_key])[-1])
+    blk_fmt = "blocks.{}.norm1.weight" if official else "encoder.layer.{}.norm1.weight"
+    depth = 0
+    while has(blk_fmt.format(depth)):
+        depth += 1
+    if (d, depth) != (cfg.embed_dim, cfg.depth):
+        # cfg was configured for a different model than the checkpoint —
+        # adopt the checkpoint's architecture.  num_heads is not stored in
+        # the weights; the whole supported family runs head dim 64.
+        if d % 64 != 0 or depth == 0:
+            raise ValueError(
+                f"unsupported DINOv2 checkpoint: embed_dim={d}, depth={depth} "
+                "(expected head-dim-64 family; vitg14/SwiGLU is not supported)"
+            )
+        cfg = dataclasses.replace(cfg, embed_dim=d, depth=depth, num_heads=d // 64)
 
     if official:
         patch_w = a(sd["patch_embed.proj.weight"])  # (D, 3, p, p)

@@ -195,7 +195,10 @@ def track_sequence(
     if dino_params is None:
         dino_params, dino_cfg = dino_mod.load_params(
             sysc["dino"].get("checkpoint"),
-            dino_mod.DinoConfig(smaller_edge_size=int(sysc["dino"]["smaller_edge_size"])),
+            dino_mod.config_for_model(
+                sysc["dino"].get("model", "dinov2_vitb14"),
+                smaller_edge_size=int(sysc["dino"]["smaller_edge_size"]),
+            ),
         )
 
     K_full = np.asarray(cam.intrinsics_from_image(h, w, float(sysc["focal_factor"])))

@@ -176,3 +176,62 @@ def test_matches_transformers_full_b14_scale():
     got = np.asarray(D.forward_tokens(params, jnp.asarray(img), cfg))
     assert got.shape == (1, 37 * 37, 768)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_model_presets():
+    for name, want in D.MODEL_PRESETS.items():
+        cfg = D.config_for_model(name, smaller_edge_size=224)
+        assert cfg.embed_dim == want["embed_dim"]
+        assert cfg.depth == want["depth"]
+        assert cfg.num_heads == want["num_heads"]
+        assert cfg.embed_dim // cfg.num_heads == 64  # whole family: head dim 64
+        assert cfg.smaller_edge_size == 224
+    with pytest.raises(ValueError):
+        D.config_for_model("dinov2_vitg14")  # SwiGLU FFN unsupported
+
+
+def test_converter_infers_family_architecture():
+    # An official-format state_dict at a head-dim-64 shape DIFFERENT from
+    # the passed cfg (vitb14 default): the converter must adopt the
+    # checkpoint's architecture (models are selected by checkpoint, the
+    # reference's torch.hub semantics — dino.py:12-14).
+    rng = np.random.RandomState(0)
+    d, depth, grid, p = 128, 2, 4, 14
+
+    def t(*shape):
+        return rng.randn(*shape).astype(np.float32) * 0.02
+
+    sd = {
+        "cls_token": t(1, 1, d),
+        "pos_embed": t(1, grid * grid + 1, d),
+        "patch_embed.proj.weight": t(d, 3, p, p),
+        "patch_embed.proj.bias": t(d),
+        "norm.weight": np.ones(d, np.float32),
+        "norm.bias": t(d),
+    }
+    for i in range(depth):
+        sd.update({
+            f"blocks.{i}.norm1.weight": np.ones(d, np.float32),
+            f"blocks.{i}.norm1.bias": t(d),
+            f"blocks.{i}.attn.qkv.weight": t(3 * d, d),
+            f"blocks.{i}.attn.qkv.bias": t(3 * d),
+            f"blocks.{i}.attn.proj.weight": t(d, d),
+            f"blocks.{i}.attn.proj.bias": t(d),
+            f"blocks.{i}.ls1.gamma": t(d),
+            f"blocks.{i}.norm2.weight": np.ones(d, np.float32),
+            f"blocks.{i}.norm2.bias": t(d),
+            f"blocks.{i}.mlp.fc1.weight": t(4 * d, d),
+            f"blocks.{i}.mlp.fc1.bias": t(4 * d),
+            f"blocks.{i}.mlp.fc2.weight": t(d, 4 * d),
+            f"blocks.{i}.mlp.fc2.bias": t(d),
+            f"blocks.{i}.ls2.gamma": t(d),
+        })
+    params, cfg = D.convert_torch_state_dict(
+        sd, D.DinoConfig(smaller_edge_size=2 * p)
+    )
+    assert cfg.embed_dim == d and cfg.depth == depth and cfg.num_heads == 2
+    assert cfg.pos_grid == grid
+    img = jnp.asarray(np.random.RandomState(1).rand(1, 3, 2 * p, 2 * p), jnp.float32)
+    out = D.forward_tokens(params, img, cfg)
+    assert out.shape == (1, 4, d)
+    assert np.isfinite(np.asarray(out)).all()

@@ -75,15 +75,31 @@ def main():
 
     vt0, vp0 = jax.jit(vpix)(r6, tr)
 
+    # Counted per-tile face cap, like bench.py/the pipeline: the default
+    # 640 silently drops face-tile pairs on this scene (worst load ~1420
+    # at the silhouette margin), which would inflate every raster timing
+    # below on corrupted (pair-dropped) rasters.
+    from dynhor_tpu.ops.rasterize_tiled import max_tile_load
+
+    worst = int(
+        jax.jit(
+            lambda vp_: jax.vmap(
+                lambda v: max_tile_load(v, mesh.faces, (s, s), margin=6.0 * 0.25 + 1.0)
+            )(vp_).max()
+        )(vp0)
+    )
+    cap = max(256, min(-(-int(worst * 1.5) // 128) * 128, int(mesh.faces.shape[0])))
+    print(f"[counted per-tile face cap {cap} (worst load {worst})]")
+
     # --- piece: bin_faces alone (fwd only; runs inside every raster) ---
     def binf(vp_):
-        return jax.vmap(lambda v: bin_faces(v, mesh.faces, (s, s), 16, 640, 3.0).indices)(vp_)
+        return jax.vmap(lambda v: bin_faces(v, mesh.faces, (s, s), 16, cap, 3.0).indices)(vp_)
     print(f"bin_faces x8 fwd:           {timeit(jax.jit(binf), vp0):8.2f} ms")
 
     # --- piece: fused raster+sil fwd ---
     def fused_f(vp_):
         frag, sil, _ = jax.vmap(
-            lambda v: rasterize_silhouette_pallas(v, mesh.faces, (s, s))
+            lambda v: rasterize_silhouette_pallas(v, mesh.faces, (s, s), max_faces=cap)
         )(vp_)
         return sil.sum() + frag.bary.sum()
     print(f"fused raster+sil x8 fwd:    {timeit(jax.jit(fused_f), vp0):8.2f} ms")
@@ -94,8 +110,8 @@ def main():
 
     # --- old path: separate rasterize_tiled + pallas silhouette ---
     def old_f(vp_):
-        frag = jax.vmap(lambda v: rasterize_tiled(v, mesh.faces, (s, s)))(vp_)
-        sil = jax.vmap(lambda v: soft_silhouette_pallas(v, mesh.faces, (s, s)))(vp_)
+        frag = jax.vmap(lambda v: rasterize_tiled(v, mesh.faces, (s, s), max_faces=cap))(vp_)
+        sil = jax.vmap(lambda v: soft_silhouette_pallas(v, mesh.faces, (s, s), max_faces=cap))(vp_)
         return sil.sum() + frag.bary.sum()
     print(f"OLD separate x8 fwd:        {timeit(jax.jit(old_f), vp0):8.2f} ms")
     print(f"OLD separate x8 f+b:        {timeit(jax.jit(jax.grad(old_f)), vp0):8.2f} ms")
@@ -104,7 +120,7 @@ def main():
     def shade_f(vt_, vp_):
         def one(v, vpx):
             vn = rz.compute_vertex_normals(v, mesh.faces)
-            frag, _, _ = rasterize_silhouette_pallas(vpx, mesh.faces, (s, s))
+            frag, _, _ = rasterize_silhouette_pallas(vpx, mesh.faces, (s, s), max_faces=cap)
             rgba = phong_shade(frag, mesh.faces, v, vn, mesh.face_uvs, mesh.texture, fine_lights())
             rgb = rgba[..., :3].transpose(2, 0, 1)
             return resize_bicubic_align_corners(rgb[None], dcfg.smaller_edge_size, dcfg.smaller_edge_size)
@@ -121,7 +137,10 @@ def main():
 
     # --- full fine step (current impl) ---
     import optax
-    cfg = RF.RefineConfig(num_iterations=1, crop_size=s, mode="fine")
+
+    cfg = RF.RefineConfig(
+        num_iterations=1, crop_size=s, mode="fine", max_faces_per_tile=cap
+    )
 
     def full_loss(params, dp):
         def one(r, t, m_, g_, k_):
