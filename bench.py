@@ -76,21 +76,33 @@ def main() -> None:
         target_masks=targets_m, gt_feats=gt_feats, K_rois=jnp.tile(K, (FRAMES, 1, 1))
     )
 
-    # Counted per-tile face cap (as the pipeline does): fixed caps silently
-    # drop faces at edge-on poses and corrupt the very rasters being timed.
-    from dynhor_tpu.ops.rasterize_tiled import max_tile_load
+    # Counted per-tile face cap + active-tile cap (as the pipeline does):
+    # fixed caps silently drop faces at edge-on poses and corrupt the very
+    # rasters being timed.
+    from dynhor_tpu.ops.rasterize_tiled import max_active_tiles_load, max_tile_load
 
     def _load(R_row, t):
         vp = RZ.project_perspective(verts @ R_row + t, K)
-        return max_tile_load(vp, mesh.faces, (CROP, CROP), margin=6.0 * 0.25 + 1.0)
+        margin = 6.0 * 0.25 + 1.0
+        return (
+            max_tile_load(vp, mesh.faces, (CROP, CROP), margin=margin),
+            max_active_tiles_load(vp, mesh.faces, (CROP, CROP), margin=margin),
+        )
 
-    worst = int(jax.vmap(_load)(rot, trans).max())
+    loads, actives = jax.vmap(_load)(rot, trans)
+    worst = int(loads.max())
     cap = max(256, min(-(-int(worst * 1.5) // 128) * 128, int(mesh.faces.shape[0])))
-    print(f"[bench] per-tile face cap {cap} (counted)", file=sys.stderr)
+    t_total = (-(-CROP // 16)) ** 2
+    act = max(8, min(-(-int(int(actives.max()) * 1.5) // 8) * 8, t_total))
+    act_cap = act if act < t_total else None
+    print(
+        f"[bench] per-tile face cap {cap}, active-tile cap {act_cap} (counted)",
+        file=sys.stderr,
+    )
 
     cfg = RF.RefineConfig(
         num_iterations=ITERS, crop_size=CROP, mode="fine", face_chunk=512,
-        max_faces_per_tile=cap,
+        max_faces_per_tile=cap, max_active_tiles=act_cap,
     )
 
     t0 = time.time()

@@ -277,9 +277,19 @@ def _fused_tiles(
     return _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear)
 
 
-def _pack_tile_rows(rows_all: Array, indices: Array, valid: Array):
+def _pack_tile_rows(
+    rows_all: Array, indices: Array, valid: Array,
+    tile_ids: Array | None = None, tile: int = 16, tiles_w: int = 1,
+):
     """Gather packed per-face rows into per-tile layout + pad for the
-    kernels.  Returns (rows (T_pad, 16, M_pad), counts (T_pad,))."""
+    kernels.  Returns (rows (T_pad, 16, M_pad), counts (T_pad,)).
+
+    ``tile_ids`` (active-tile compaction): row j holds tile ``tile_ids[j]``
+    of the dense grid, but the kernels derive each program's pixel origin
+    from its PROGRAM index j.  Shifting the xy rows by (true origin -
+    assumed origin) makes the kernel's coordinate frame exact; mass, z,
+    argmin slots, and all coordinate gradients are invariant to the
+    constant per-tile shift, so nothing downstream changes."""
     t_total, m = indices.shape
     rows = rows_all[indices.reshape(-1)].reshape(t_total, m, 16)
     rows = jnp.swapaxes(rows, 1, 2)  # (T, 16, M)
@@ -287,6 +297,12 @@ def _pack_tile_rows(rows_all: Array, indices: Array, valid: Array):
     rows = rows.at[:, 6, :].multiply(
         jax.lax.stop_gradient(valid.astype(rows.dtype))
     )
+    if tile_ids is not None:
+        pos = jnp.arange(t_total, dtype=jnp.int32)
+        dx = ((tile_ids % tiles_w) - (pos % tiles_w)).astype(rows.dtype) * tile
+        dy = ((tile_ids // tiles_w) - (pos // tiles_w)).astype(rows.dtype) * tile
+        shift = jnp.stack([dx, dy, dx, dy, dx, dy], axis=-1)  # (T, 6)
+        rows = rows.at[:, :6, :].add(-shift[:, :, None])
     pad_m = (-m) % 128
     if pad_m:
         rows = jnp.concatenate(
@@ -302,11 +318,11 @@ def _pack_tile_rows(rows_all: Array, indices: Array, valid: Array):
     return rows, jax.lax.stop_gradient(counts)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _fused_tiles_invbwd(
     rows_all: Array, indices: Array, valid: Array, inv_flat: Array,
-    inv_valid: Array, t_total: int, m: int, tile: int, tiles_w: int,
-    sigma: float, dist_mode: str, znear: float,
+    inv_valid: Array, tile_ids: Array | None, t_total: int, m: int,
+    tile: int, tiles_w: int, sigma: float, dist_mode: str, znear: float,
 ):
     """_fused_tiles with the GATHER inside the custom-VJP boundary.
 
@@ -314,18 +330,19 @@ def _fused_tiles_invbwd(
     analytic inverse (rasterize_tiled.face_tile_inverse) — an (F x K)-row
     gather — instead of XLA's (T x M)-row scatter-add transpose of the
     forward gather (measured ~60 ms of the 8-frame backward; the Pallas
-    kernels are ~5 ms)."""
-    rows, counts = _pack_tile_rows(rows_all, indices, valid)
+    kernels are ~5 ms).  ``tile_ids`` compacts onto active tiles (see
+    _pack_tile_rows)."""
+    rows, counts = _pack_tile_rows(rows_all, indices, valid, tile_ids, tile, tiles_w)
     return _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear)
 
 
 def _fused_tiles_invbwd_fwd(
-    rows_all, indices, valid, inv_flat, inv_valid, t_total, m, tile, tiles_w,
-    sigma, dist_mode, znear,
+    rows_all, indices, valid, inv_flat, inv_valid, tile_ids, t_total, m,
+    tile, tiles_w, sigma, dist_mode, znear,
 ):
-    rows, counts = _pack_tile_rows(rows_all, indices, valid)
+    rows, counts = _pack_tile_rows(rows_all, indices, valid, tile_ids, tile, tiles_w)
     out = _fused_tiles_impl(rows, counts, tile, tiles_w, sigma, dist_mode, znear)
-    res = (rows, counts, inv_flat, inv_valid)
+    res = (rows, counts, inv_flat, inv_valid, tile_ids)
     return out, res
 
 
@@ -334,7 +351,7 @@ def _fused_tiles_invbwd_bwd(
 ):
     import numpy as _np
 
-    rows, counts, inv_flat, inv_valid = res
+    rows, counts, inv_flat, inv_valid, tile_ids = res
     n_faces = inv_flat.shape[0]
     g_mass, _, _ = cts  # zmin/jbest are hard outputs: zero cotangent path
     t_pad = rows.shape[0]
@@ -373,6 +390,7 @@ def _fused_tiles_invbwd_bwd(
         _np.zeros((t_total, m), jax.dtypes.float0),
         zero_i,
         _np.zeros(inv_valid.shape, jax.dtypes.float0),
+        None if tile_ids is None else _np.zeros(tile_ids.shape, jax.dtypes.float0),
     )
 
 
@@ -453,7 +471,7 @@ _fused_tiles.defvjp(_fused_tiles_fwd, _fused_tiles_bwd)
     jax.jit,
     static_argnames=(
         "image_size", "tile", "max_faces", "sigma", "znear", "dist_mode",
-        "max_tiles_per_face",
+        "max_tiles_per_face", "max_active_tiles",
     ),
 )
 def rasterize_silhouette_pallas(
@@ -466,6 +484,7 @@ def rasterize_silhouette_pallas(
     znear: float = 1e-2,
     dist_mode: str = "linear",
     max_tiles_per_face: int = 32,
+    max_active_tiles: int | None = None,
 ) -> tuple[Fragments, Array, Array]:
     """Fused replacement for rasterize_tiled + soft_silhouette_pallas.
 
@@ -475,13 +494,26 @@ def rasterize_silhouette_pallas(
     per-(tile, slot) gradients to faces via the analytic inverse mapping
     (face_tile_inverse) instead of a scatter-add.
 
+    ``max_active_tiles`` (optional, counted per scene like ``max_faces`` —
+    see rasterize_tiled.max_active_tiles_load) compacts the kernel onto
+    the tiles that have at least one candidate face.  The per-tile load
+    distribution is extremely skewed (production shoes scene: 75% of the
+    256 tiles EMPTY, mean load 42 vs counted cap ~2176), and the raster's
+    dominant cost is ROW-COUNT-bound gathers over (tiles x cap) packed
+    rows — so skipping empty tiles cuts the gather volume, the kernel
+    grid, and the backward cotangent by ~4x at identical results.  Empty
+    tiles contribute exactly (mass 0, no hit): the compacted scatter-back
+    fills those defaults.
+
     Returns (Fragments, soft_silhouette (H, W), overflow () int32).
     The overflow count is the number of face-tile pairs DROPPED — by the
-    static per-tile cap (corrupts values) or by ``max_tiles_per_face`` in
+    static per-tile cap (corrupts values), by ``max_tiles_per_face`` in
     the backward inverse (loses gradient contributions of faces spanning
-    more than that many tiles).  Nonzero means silently corrupted output,
-    so callers must surface it (the refine/joint loops carry the max
-    across all steps and warn host-side; VERDICT r1 weak #5).
+    more than that many tiles), or by ``max_active_tiles`` being smaller
+    than the true active-tile count (whole tiles dropped).  Nonzero means
+    silently corrupted output, so callers must surface it (the
+    refine/joint loops carry the max across all steps and warn host-side;
+    VERDICT r1 weak #5).
     """
     from .rasterize_tiled import face_tile_inverse
 
@@ -516,11 +548,66 @@ def rasterize_silhouette_pallas(
         ],
         axis=-1,
     )  # (F, 16): xy rows differentiable; vis/z hard (reference semantics)
-    mass, zmin, jbest = _fused_tiles_invbwd(
-        rows_all, bins.indices, bins.valid, inv_flat, inv_valid,
-        t_total, m, tile, tw, sigma, dist_mode, znear,
-    )
-    mass, zmin, jbest = mass[:t_total], zmin[:t_total], jbest[:t_total]
+    act_overflow = jnp.zeros((), jnp.int32)
+    if max_active_tiles is not None and max_active_tiles < t_total:
+        # ---- active-tile compaction (see docstring) ----
+        t_act = -(-max_active_tiles // _TB) * _TB
+        active = bins.valid.any(axis=1)
+        act_ids = jnp.nonzero(active, size=t_act, fill_value=t_total)[0].astype(
+            jnp.int32
+        )
+        act_overflow = jax.nn.relu(
+            active.sum(dtype=jnp.int32) - jnp.int32(t_act)
+        ).astype(jnp.int32)
+        sel = act_ids < t_total  # (t_act,) real (non-padding) entries
+        indices_act = bins.indices[jnp.minimum(act_ids, t_total - 1)]
+        valid_act = bins.valid[jnp.minimum(act_ids, t_total - 1)] & sel[:, None]
+        # Translate the analytic inverse into the compacted layout: tile t
+        # lives at row rank[t]; unselected tiles get the sentinel t_act so
+        # their pairs mask out.  rank is looked up with the same fused
+        # one-hot reduction as face_tile_inverse's slot lookup (an (F, K)
+        # element gather measures ~20M elem/s on this TPU — too slow).
+        rank = (
+            jnp.full((t_total,), t_act, jnp.int32)
+            .at[act_ids]
+            .set(jnp.arange(t_act, dtype=jnp.int32), mode="drop")
+        )
+        inv_tile = inv_flat // m
+        tt = jnp.arange(t_total, dtype=jnp.int32)
+        rank_k = jnp.where(
+            inv_tile[..., None] == tt, rank[None, None, :], 0
+        ).sum(axis=-1)  # (F, K)
+        inv_flat_c = rank_k * m + inv_flat % m
+        inv_valid_c = inv_valid & (rank_k < t_act)
+        mass_c, zmin_c, jbest_c = _fused_tiles_invbwd(
+            rows_all, indices_act, valid_act, inv_flat_c, inv_valid_c,
+            jnp.minimum(act_ids, t_total - 1), t_act, m, tile, tw, sigma,
+            dist_mode, znear,
+        )
+        p_tile = tile * tile
+        # Scatter back to the dense tile grid; padding rows (act_ids ==
+        # t_total) drop out of bounds.
+        mass = (
+            jnp.zeros((t_total, p_tile), mass_c.dtype)
+            .at[act_ids]
+            .set(mass_c[:t_act], mode="drop")
+        )
+        zmin = (
+            jnp.full((t_total, p_tile), _BIG_Z, zmin_c.dtype)
+            .at[act_ids]
+            .set(zmin_c[:t_act], mode="drop")
+        )
+        jbest = (
+            jnp.zeros((t_total, p_tile), jbest_c.dtype)
+            .at[act_ids]
+            .set(jbest_c[:t_act], mode="drop")
+        )
+    else:
+        mass, zmin, jbest = _fused_tiles_invbwd(
+            rows_all, bins.indices, bins.valid, inv_flat, inv_valid, None,
+            t_total, m, tile, tw, sigma, dist_mode, znear,
+        )
+        mass, zmin, jbest = mass[:t_total], zmin[:t_total], jbest[:t_total]
 
     sil = 1.0 - jnp.exp(-mass)
 
@@ -550,7 +637,7 @@ def rasterize_silhouette_pallas(
         bary=jnp.where(hit_img.reshape(-1, 1), bary, 0.0).reshape(h, w, 3),
         zbuf=zbuf_img,
     )
-    return frag, sil_img, bins.overflow + k_overflow
+    return frag, sil_img, bins.overflow + k_overflow + act_overflow
 
 
 @functools.partial(

@@ -217,6 +217,35 @@ def max_tile_load(
     return counts.max().astype(jnp.int32)
 
 
+def max_active_tiles_load(
+    verts_pix: Array,
+    faces: Array,
+    image_size: tuple[int, int],
+    tile: int = 16,
+    margin: float = 3.0,
+) -> Array:
+    """Number of tiles with >= 1 candidate face (same counting scheme as
+    ``max_tile_load``).  Callers size ``max_active_tiles`` for the fused
+    raster's active-tile compaction from this: the load distribution is
+    skewed enough (typically ~75% of tiles empty at object scale) that
+    skipping empty tiles cuts the raster's gather-bound cost ~4x."""
+    h, w = image_size
+    th, tw = -(-h // tile), -(-w // tile)
+    bboxes, vis = face_screen_bboxes(verts_pix, faces)
+    ty = jnp.arange(th) * tile
+    tx = jnp.arange(tw) * tile
+    x1 = bboxes[:, 0] - margin
+    y1 = bboxes[:, 1] - margin
+    x2 = bboxes[:, 2] + margin
+    y2 = bboxes[:, 3] + margin
+    ox = (x1[None, :] < (tx[:, None] + tile)) & (x2[None, :] > tx[:, None])
+    oy = (y1[None, :] < (ty[:, None] + tile)) & (y2[None, :] > ty[:, None])
+    counts = jnp.einsum(
+        "af,bf->ab", oy.astype(jnp.float32), (ox & vis[None, :]).astype(jnp.float32)
+    )
+    return (counts > 0).sum(dtype=jnp.int32)
+
+
 def _tile_grid(h: int, w: int, tile: int):
     th, tw = -(-h // tile), -(-w // tile)
     iy = jnp.arange(tile, dtype=jnp.float32) + 0.5

@@ -46,6 +46,8 @@ class JointConfig:
     use_tiled: bool = True  # tile-binned rasterization (see tracker/refine.py)
     tile_size: int = 16
     max_faces_per_tile: int = 640
+    # Active-tile compaction for the fused raster (see tracker/refine.py).
+    max_active_tiles: int | None = None
     silhouette_impl: str = "auto"  # "auto" | "pallas" | "tiled" | "dense"
 
 
@@ -86,6 +88,7 @@ def _sil_and_smooth(
             frag, soft, ov = rasterize_silhouette_pallas(
                 vp, faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
                 max_faces=cfg.max_faces_per_tile,
+                max_active_tiles=cfg.max_active_tiles,
             )
             hard = (frag.pix_to_face >= 0).astype(jnp.float32)
             return soft, hard, ov
@@ -171,10 +174,11 @@ def joint_optimize(
     if max_ov > 0:
         print(
             f"WARNING: tile-bin overflow DURING joint optimization (max"
-            f" {max_ov} face-tile pairs dropped in a step) — the cap is"
-            " auto-counted (tracker/pipeline._counted_refine_cap); raise"
+            f" {max_ov} face-tile pairs or active tiles dropped in a step) —"
+            " both caps are auto-counted"
+            " (tracker/pipeline._counted_refine_cap); raise"
             " system.cap_headroom (default 1.5) or set an explicit"
-            " system.max_faces_per_tile override",
+            " system.max_faces_per_tile override (disables compaction)",
             flush=True,
         )
     return JointResult(result.rot6d, result.translations, result.scale, history)

@@ -273,32 +273,41 @@ def track_sequence(
     K_rois = cam.get_K_crop_resize(
         jnp.broadcast_to(jnp.asarray(K_full), (f_frames, 3, 3)), sq, s
     )
-    def _counted_refine_cap(rot_row, trans, K_rois_sel) -> int:
-        """Per-tile face cap for refinement, counted at the init poses over
-        ALL frames with system.cap_headroom for pose motion (poses move
-        during the 100 Adam steps; the in-loop overflow signal in
-        tracker/refine.py remains the backstop).  Fixed caps corrupt
-        edge-on poses silently; system.max_faces_per_tile forces an
-        explicit cap when set."""
+    def _counted_refine_cap(rot_row, trans, K_rois_sel) -> tuple[int, int]:
+        """(per-tile face cap, active-tile cap) for refinement, counted at
+        the init poses over ALL frames with system.cap_headroom for pose
+        motion (poses move during the 100 Adam steps; the in-loop overflow
+        signal in tracker/refine.py remains the backstop).  Fixed caps
+        corrupt edge-on poses silently; system.max_faces_per_tile forces
+        an explicit face cap when set (active-tile compaction then runs
+        dense)."""
         explicit = sysc.get("max_faces_per_tile")
         if explicit:
-            return int(explicit)
+            return int(explicit), None
         from ..ops.rasterize import project_perspective
-        from ..ops.rasterize_tiled import max_tile_load
+        from ..ops.rasterize_tiled import max_active_tiles_load, max_tile_load
 
         sig = float(sysc["sigma"])
         headroom = float(sysc.get("cap_headroom", 1.5))
+        t_total = (-(-s // 16)) ** 2
 
         def one(R, t, K):
-            vc = mesh_arrays.verts @ R + jnp.reshape(t, (1, 3))
-            return max_tile_load(
-                project_perspective(vc, K), mesh_arrays.faces, (s, s),
-                margin=6.0 * sig + 1.0,  # match the fused kernel's binning
+            vp = project_perspective(
+                mesh_arrays.verts @ R + jnp.reshape(t, (1, 3)), K
+            )
+            margin = 6.0 * sig + 1.0  # match the fused kernel's binning
+            return (
+                max_tile_load(vp, mesh_arrays.faces, (s, s), margin=margin),
+                max_active_tiles_load(vp, mesh_arrays.faces, (s, s), margin=margin),
             )
 
-        worst = int(jax.vmap(one)(rot_row, jnp.asarray(trans), K_rois_sel).max())
+        loads, actives = jax.vmap(one)(rot_row, jnp.asarray(trans), K_rois_sel)
+        worst = int(loads.max())
         cap = -(-int(worst * headroom) // 128) * 128
-        return max(256, min(cap, int(mesh_arrays.faces.shape[0])))
+        cap = max(256, min(cap, int(mesh_arrays.faces.shape[0])))
+        act = -(-int(int(actives.max()) * headroom) // 8) * 8
+        act = max(8, min(act, t_total))
+        return cap, act if act < t_total else None
 
     refine_cfg = RF.RefineConfig(
         num_iterations=int(sysc["init_num_iterations"]),
@@ -328,9 +337,11 @@ def track_sequence(
             rot_init = gate.rotation_init  # (F, 3, 3)
             trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
             jax.block_until_ready(trans_init)
-            cap = _counted_refine_cap(rot_init, trans_init, K_rois)
-            refine_cfg = dataclasses.replace(refine_cfg, max_faces_per_tile=cap)
-            joint_cap = cap
+            cap, act_cap = _counted_refine_cap(rot_init, trans_init, K_rois)
+            refine_cfg = dataclasses.replace(
+                refine_cfg, max_faces_per_tile=cap, max_active_tiles=act_cap
+            )
+            joint_cap, joint_act = cap, act_cap
         with prof.phase("refine"):
             res = RF.refine_poses(
                 mesh_arrays, targets, rot_init, trans_init, dino_params, dino_cfg,
@@ -350,8 +361,10 @@ def track_sequence(
         # headroom; the in-loop overflow warning remains the backstop.
         top1 = priors_row[jnp.argmax(scores, axis=1)]
         t_all = autodepth(top1, ann.bbox_xywh)
-        joint_cap = _counted_refine_cap(top1, t_all, K_rois)
-        refine_cfg = dataclasses.replace(refine_cfg, max_faces_per_tile=joint_cap)
+        joint_cap, joint_act = _counted_refine_cap(top1, t_all, K_rois)
+        refine_cfg = dataclasses.replace(
+            refine_cfg, max_faces_per_tile=joint_cap, max_active_tiles=joint_act
+        )
         for i in range(f_frames):
             state, gate = S.gate_frame(state, scores[i], priors_row)
             t0 = autodepth(gate.rotation_init[None], ann.bbox_xywh[i : i + 1])
@@ -388,6 +401,7 @@ def track_sequence(
         sigma=float(sysc["sigma"]),
         face_chunk=int(sysc["face_chunk"]),
         max_faces_per_tile=joint_cap,
+        max_active_tiles=joint_act,
     )
     with prof.phase("joint-opt"):
         jres = J.joint_optimize(

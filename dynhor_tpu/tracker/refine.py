@@ -61,6 +61,13 @@ class RefineConfig:
     use_tiled: bool = True
     tile_size: int = 16
     max_faces_per_tile: int = 640
+    # Active-tile compaction for the fused Pallas raster: the kernel (and
+    # its gather-bound row packing) runs only over tiles with >= 1
+    # candidate face.  Counted per scene like the face cap
+    # (rasterize_tiled.max_active_tiles_load; pipeline counts both);
+    # None = dense over all tiles.  Measured 1.95x on the raster f+b at
+    # the production scene (75% of tiles empty).
+    max_active_tiles: int | None = None
     # Soft-silhouette implementation: "auto" = Pallas fused kernel on TPU
     # (ops/silhouette_pallas.py, ~4x over the XLA tiled path), XLA tiled
     # elsewhere; or force "pallas" | "tiled" | "dense".
@@ -147,6 +154,7 @@ def _frame_loss(
         frag, soft, overflow = rasterize_silhouette_pallas(
             vp, mesh.faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
             max_faces=cfg.max_faces_per_tile,
+            max_active_tiles=cfg.max_active_tiles,
         )
     elif impl == "tiled":
         frag = rasterize_tiled(
@@ -268,10 +276,11 @@ def refine_poses(
     if max_overflow > 0:
         print(
             f"WARNING: tile-bin overflow DURING refinement (max {max_overflow}"
-            " face-tile pairs dropped in a step) — the cap is auto-counted at"
-            " the init poses (tracker/pipeline._counted_refine_cap); raise"
+            " face-tile pairs or active tiles dropped in a step) — both caps"
+            " are auto-counted at the init poses"
+            " (tracker/pipeline._counted_refine_cap); raise"
             " system.cap_headroom (default 1.5) or set an explicit"
-            " system.max_faces_per_tile override",
+            " system.max_faces_per_tile override (disables compaction)",
             flush=True,
         )
     return result

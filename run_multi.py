@@ -122,27 +122,30 @@ def main() -> None:
     # (fixed caps silently drop faces at edge-on poses; tracker/pipeline
     # does the same for single sequences).
     from dynhor_tpu.ops.rasterize import project_perspective
-    from dynhor_tpu.ops.rasterize_tiled import max_tile_load
+    from dynhor_tpu.ops.rasterize_tiled import max_active_tiles_load, max_tile_load
 
     s0 = int(cfg0["crop_size"])
 
     sig0 = float(cfg0["sigma"])
 
     def _load_one(verts_i, faces_i, R_i, t_i, K_i):
-        vc = verts_i @ R_i + jnp.reshape(t_i, (1, 3))
-        return max_tile_load(
-            project_perspective(vc, K_i), faces_i, (s0, s0),
-            margin=6.0 * sig0 + 1.0,
+        vp = project_perspective(verts_i @ R_i + jnp.reshape(t_i, (1, 3)), K_i)
+        margin = 6.0 * sig0 + 1.0
+        return (
+            max_tile_load(vp, faces_i, (s0, s0), margin=margin),
+            max_active_tiles_load(vp, faces_i, (s0, s0), margin=margin),
         )
 
-    worst = int(
-        jax.vmap(_load_one)(
-            batch.mesh_verts, batch.mesh_faces, rot_all, trans_all,
-            batch.targets.K_rois,
-        ).max()
+    loads, actives = jax.vmap(_load_one)(
+        batch.mesh_verts, batch.mesh_faces, rot_all, trans_all,
+        batch.targets.K_rois,
     )
+    worst = int(loads.max())
     cap = max(256, min(-(-int(worst * 1.5) // 128) * 128, int(batch.mesh_faces.shape[1])))
-    print(f"pooled refine: per-tile face cap {cap} (counted)")
+    t_total = (-(-s0 // 16)) ** 2
+    act = max(8, min(-(-int(int(actives.max()) * 1.5) // 8) * 8, t_total))
+    act_cap = act if act < t_total else None
+    print(f"pooled refine: per-tile face cap {cap}, active-tile cap {act_cap} (counted)")
 
     refine_cfg = RF.RefineConfig(
         num_iterations=int(cfg0["init_num_iterations"]),
@@ -152,6 +155,7 @@ def main() -> None:
         face_chunk=int(cfg0["face_chunk"]),
         mode="fine",
         max_faces_per_tile=cap,
+        max_active_tiles=act_cap,
         offscreen_weight=float(cfg0["offscreen_weight"]),
     )
     res = MS.refine_poses_multi(
@@ -178,6 +182,7 @@ def main() -> None:
             sigma=float(sysc["sigma"]),
             face_chunk=int(sysc["face_chunk"]),
             max_faces_per_tile=cap,
+            max_active_tiles=act_cap,
         )
         ma = PL._mesh_arrays(mesh)
         jres = J.joint_optimize(

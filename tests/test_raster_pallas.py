@@ -196,3 +196,49 @@ def test_analytic_tile_mass_gradient_matches_autodiff():
                 np.testing.assert_allclose(
                     np.asarray(g_an), np.asarray(g_ref), atol=1e-9 * max(scale, 1.0)
                 )
+
+
+def test_active_tile_compaction_matches_dense(scene):
+    """max_active_tiles compaction == dense over all tiles: forward
+    (pix_to_face exact; sil/zbuf/bary to float rounding — the compacted
+    kernel works in tile-shifted coordinates) AND the silhouette VJP."""
+    from dynhor_tpu.ops.rasterize_tiled import max_active_tiles_load, max_tile_load
+
+    _, vp, faces, _ = scene
+    margin = 6.0 * 0.25 + 1.0
+    cap = -(-int(max_tile_load(vp, faces, (S, S), margin=margin)) // 128) * 128
+    n_act = int(max_active_tiles_load(vp, faces, (S, S), margin=margin))
+    assert n_act < (S // 16) ** 2  # the scene must actually have empty tiles
+
+    fragd, sild, ovd = rasterize_silhouette_pallas(vp, faces, (S, S), max_faces=cap)
+    fragc, silc, ovc = rasterize_silhouette_pallas(
+        vp, faces, (S, S), max_faces=cap, max_active_tiles=n_act + 4
+    )
+    assert int(ovd) == 0 and int(ovc) == 0
+    np.testing.assert_array_equal(
+        np.asarray(fragd.pix_to_face), np.asarray(fragc.pix_to_face)
+    )
+    np.testing.assert_allclose(np.asarray(sild), np.asarray(silc), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fragd.zbuf), np.asarray(fragc.zbuf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fragd.bary), np.asarray(fragc.bary), atol=1e-5)
+
+    weight = jnp.cos(jnp.arange(S * S, dtype=jnp.float32).reshape(S, S) * 0.01)
+
+    def loss(vp_, mat):
+        _, sil, _ = rasterize_silhouette_pallas(
+            vp_, faces, (S, S), max_faces=cap, max_active_tiles=mat
+        )
+        return (sil * weight).sum()
+
+    gd = jax.grad(lambda v: loss(v, None))(vp)
+    gc = jax.grad(lambda v: loss(v, n_act + 4))(vp)
+    assert float(jnp.abs(gd).sum()) > 1.0  # non-trivial gradient
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gc), atol=1e-5, rtol=1e-5)
+
+
+def test_active_tile_compaction_overflow_surfaced(scene):
+    _, vp, faces, _ = scene
+    _, _, ov = rasterize_silhouette_pallas(
+        vp, faces, (S, S), max_faces=MAX_FACES, max_active_tiles=8
+    )
+    assert int(ov) > 0  # dropped whole active tiles must be reported

@@ -79,17 +79,22 @@ def main():
     # 640 silently drops face-tile pairs on this scene (worst load ~1420
     # at the silhouette margin), which would inflate every raster timing
     # below on corrupted (pair-dropped) rasters.
-    from dynhor_tpu.ops.rasterize_tiled import max_tile_load
+    from dynhor_tpu.ops.rasterize_tiled import max_active_tiles_load, max_tile_load
 
-    worst = int(
-        jax.jit(
-            lambda vp_: jax.vmap(
-                lambda v: max_tile_load(v, mesh.faces, (s, s), margin=6.0 * 0.25 + 1.0)
-            )(vp_).max()
+    worst, n_act = (
+        int(x)
+        for x in jax.jit(
+            lambda vp_: tuple(
+                jax.vmap(
+                    lambda v: f(v, mesh.faces, (s, s), margin=6.0 * 0.25 + 1.0)
+                )(vp_).max()
+                for f in (max_tile_load, max_active_tiles_load)
+            )
         )(vp0)
     )
     cap = max(256, min(-(-int(worst * 1.5) // 128) * 128, int(mesh.faces.shape[0])))
-    print(f"[counted per-tile face cap {cap} (worst load {worst})]")
+    act_cap = max(8, min(-(-int(n_act * 1.5) // 8) * 8, (-(-s // 16)) ** 2))
+    print(f"[counted per-tile face cap {cap} (worst load {worst}); active-tile cap {act_cap} (worst {n_act})]")
 
     # --- piece: bin_faces alone (fwd only; runs inside every raster) ---
     def binf(vp_):
@@ -107,6 +112,16 @@ def main():
     # --- piece: fused raster+sil fwd+bwd (grad wrt verts_pix) ---
     gf = jax.jit(jax.grad(fused_f))
     print(f"fused raster+sil x8 f+b:    {timeit(gf, vp0):8.2f} ms")
+
+    # --- piece: same, active-tile compacted (the production config) ---
+    def fused_act(vp_):
+        frag, sil, _ = jax.vmap(
+            lambda v: rasterize_silhouette_pallas(
+                v, mesh.faces, (s, s), max_faces=cap, max_active_tiles=act_cap
+            )
+        )(vp_)
+        return sil.sum() + frag.bary.sum()
+    print(f"  + active-tile compaction: {timeit(jax.jit(jax.grad(fused_act)), vp0):8.2f} ms")
 
     # --- old path: separate rasterize_tiled + pallas silhouette ---
     def old_f(vp_):
@@ -139,7 +154,8 @@ def main():
     import optax
 
     cfg = RF.RefineConfig(
-        num_iterations=1, crop_size=s, mode="fine", max_faces_per_tile=cap
+        num_iterations=1, crop_size=s, mode="fine", max_faces_per_tile=cap,
+        max_active_tiles=act_cap,
     )
 
     def full_loss(params, dp):
