@@ -77,11 +77,12 @@ class RefineConfig:
     # backbone is frozen; only the direction of the image gradient matters).
     dino_dtype: str = "bfloat16"
     # Rematerialization of ViT blocks in the sem-loss backward.  Measured
-    # on v5e at 8 frames: full per-block remat (True) beats the
-    # save-matmul-outputs policy ("dots", +6% step time — saved-activation
-    # HBM writes cost more than the recompute) and no-remat crashes this
-    # TPU compiler outright.
-    dino_remat: bool | str = True
+    # on v5e at 8 frames (ViT f+b): "frozen" 121.5 ms < True (full
+    # per-block remat) 130.2 ms < "dots" 150.2 ms (saved-attention-probs
+    # HBM writes cost more than the recompute); no-remat crashes this TPU
+    # compiler outright.  "frozen" saves three named per-block activations
+    # and exploits that the backbone has no weight grads (models/dino.py).
+    dino_remat: bool | str = "frozen"
 
 
 class MeshArrays(NamedTuple):
