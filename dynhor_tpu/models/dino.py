@@ -54,6 +54,17 @@ class DinoConfig:
     pos_grid: int = 37  # native pos-embed grid (518 / 14)
     smaller_edge_size: int = 518  # reference dino.py:5
     layer_norm_eps: float = 1e-6
+    # Attention implementation: "xla" (einsum softmax einsum, fused by XLA)
+    # or "flash" (Pallas TPU FlashAttention with `flash_block` tiles; the
+    # (N x N) probabilities never touch HBM).  Measured v5e, 8 x 1370
+    # tokens, bf16, remat="frozen", grad-to-input (tools/
+    # probe_vit_attention.py): xla 124.4 ms < flash blk=256 206.7 ms <
+    # flash blk=128 363.3 ms — at N~1370 the probs tensor is modest and
+    # XLA's fused softmax beats the kernel's tiling overhead, so "xla"
+    # stays the default.  Non-TPU backends always use "xla" (the Pallas
+    # kernel is TPU-only).
+    attn_impl: str = "xla"
+    flash_block: int = 128
 
     @property
     def feat_size(self) -> int:
@@ -134,13 +145,12 @@ def _layer_norm(x: Array, scale: Array, bias: Array, eps: float) -> Array:
 def _attention(q: Array, k: Array, v: Array, hd: int) -> Array:
     """Multi-head attention, (B, N, H, hd) -> (B, N, H, hd), XLA einsums.
 
-    Measured on v5e at the production shape (8 x 1370 tokens, 12 heads,
-    bf16, per-block remat): the official Pallas flash-attention kernel is
-    SLOWER here (148 ms ViT fwd+bwd vs 132.6 ms) — its 512-block rule pads
-    1370 -> 1536 tokens (+12%) and its f32 internals outweigh the HBM
-    saving at this modest sequence length, while remat already keeps the
-    (N x N) probabilities out of the backward's HBM working set.  Keep the
-    fused-by-XLA path.
+    Round-2 measurement (v5e, 8 x 1370 tokens, 12 heads, bf16, per-block
+    remat, DEFAULT-config flash padded to 512-multiples): Pallas flash was
+    slower (148 ms ViT fwd+bwd vs 132.6 ms).  Round 3 revisits it with
+    128-tile blocks + segment-id padding (1370 -> 1408, +2.8%) under the
+    "frozen" remat policy — see _flash_attention / DinoConfig.attn_impl.
+    This XLA path stays the default and the only non-TPU path.
     """
     dtype = q.dtype
     attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(1.0 / np.sqrt(hd), dtype)
@@ -149,7 +159,51 @@ def _attention(q: Array, k: Array, v: Array, hd: int) -> Array:
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
-def _block(x: Array, p: dict[str, Array], num_heads: int, eps: float) -> Array:
+def _flash_attention(q: Array, k: Array, v: Array, hd: int, block: int) -> Array:
+    """Pallas TPU FlashAttention, (B, N, H, hd) -> (B, N, H, hd).
+
+    Pads the token axis to a multiple of ``block`` and masks the pad via
+    segment ids (valid tokens id 1, pad id 0 — only same-id pairs attend),
+    so numerics match _attention exactly on the valid 1370 tokens; the pad
+    rows are sliced off.  The kernel streams (N x N) probability tiles
+    through VMEM instead of materializing them in HBM, and brings its own
+    custom VJP (dq/dk/dv kernels) — composes with jax.checkpoint.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, n, h, _ = q.shape
+    n_pad = (-n) % block
+    qt = q.transpose(0, 2, 1, 3)  # (B, H, N, hd)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if n_pad:
+        pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+        qt, kt, vt = (jnp.pad(a, pad) for a in (qt, kt, vt))
+    seg = jnp.broadcast_to(
+        (jnp.arange(n + n_pad) < n).astype(jnp.int32)[None], (b, n + n_pad)
+    )
+    m = n + n_pad
+    blk = min(block, m)
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    o = flash_attention(
+        qt, kt, vt, segment_ids=SegmentIds(q=seg, kv=seg),
+        sm_scale=float(1.0 / np.sqrt(hd)), block_sizes=sizes,
+    )
+    return o[:, :, :n].transpose(0, 2, 1, 3)
+
+
+def _block(
+    x: Array, p: dict[str, Array], num_heads: int, eps: float,
+    attn_impl: str = "xla", flash_block: int = 128,
+) -> Array:
     from jax.ad_checkpoint import checkpoint_name
 
     b, n, d = x.shape
@@ -165,7 +219,10 @@ def _block(x: Array, p: dict[str, Array], num_heads: int, eps: float) -> Array:
     q = q.reshape(b, n, num_heads, hd)
     k = k.reshape(b, n, num_heads, hd)
     v = v.reshape(b, n, num_heads, hd)
-    o = _attention(q, k, v, hd).reshape(b, n, d)
+    if attn_impl == "flash":
+        o = _flash_attention(q, k, v, hd, flash_block).reshape(b, n, d)
+    else:
+        o = _attention(q, k, v, hd).reshape(b, n, d)
     o = o @ p["proj_kernel"] + p["proj_bias"]
     x = checkpoint_name(x + p["ls1"] * o, "dino_acts")
     h = _layer_norm(x, p["norm2_scale"], p["norm2_bias"], eps)
@@ -215,8 +272,16 @@ def forward_tokens(
     pos = _interp_pos_embed(params["pos_embed"], cfg.pos_grid, gh, gw)
     x = x + pos.astype(x.dtype)  # pos-embed interp is f32; keep bf16 carry
 
+    attn_impl = cfg.attn_impl if jax.default_backend() == "tpu" else "xla"
+
     def body(x, blk_params):
-        return _block(x, blk_params, cfg.num_heads, cfg.layer_norm_eps), None
+        return (
+            _block(
+                x, blk_params, cfg.num_heads, cfg.layer_norm_eps,
+                attn_impl, cfg.flash_block,
+            ),
+            None,
+        )
 
     if remat == "dots":
         # Per-block remat with matmul outputs saved: the backward recomputes

@@ -235,3 +235,44 @@ def test_converter_infers_family_architecture():
     out = D.forward_tokens(params, img, cfg)
     assert out.shape == (1, 4, d)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_wrapper_padding_and_segments(monkeypatch):
+    """_flash_attention's pad + segment-id + transpose plumbing is exact.
+
+    The Pallas kernel itself is TPU-only; on CPU we substitute the module's
+    own pure-jnp ``mha_reference`` (same signature, same segment-mask
+    semantics), which isolates OUR wrapper logic: padding 1370-style odd
+    token counts up to the tile multiple must not perturb the valid rows.
+    """
+    import jax.experimental.pallas.ops.tpu.flash_attention as fa
+
+    def fake_flash(q, k, v, ab=None, segment_ids=None, *, causal=False,
+                   sm_scale=1.0, block_sizes=None):
+        return fa.mha_reference(
+            q, k, v, ab, segment_ids=segment_ids, causal=causal,
+            sm_scale=sm_scale,
+        )
+
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    b, n, h, hd = 2, 45, 3, 16  # n deliberately not a multiple of the block
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, n, h, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, hd), jnp.float32)
+    ref = D._attention(q, k, v, hd)
+    out = D._flash_attention(q, k, v, hd, block=16)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_attn_impl_flash_falls_back_on_cpu():
+    """attn_impl='flash' must still run (as xla) on non-TPU backends."""
+    cfg = dataclasses.replace(
+        D.DinoConfig(depth=2, pos_grid=4, smaller_edge_size=56),
+        attn_impl="flash",
+    )
+    params = D.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56), jnp.float32)
+    out = D.forward_tokens(params, x, cfg, remat=False)
+    assert out.shape == (1, 16, cfg.embed_dim)

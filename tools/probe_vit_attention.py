@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""A/B the ViT attention implementations at the fine-loss production shape.
+
+Times DINO ViT-B/14 forward+backward (grad w.r.t. the INPUT IMAGE, weights
+frozen — the fine sem-loss pattern, refine.py) at 8 x 518^2 bf16 under
+remat="frozen", for:
+
+  * attn_impl="xla"  (einsum + f32 softmax, fused by XLA — round-2 winner)
+  * attn_impl="flash" at several Pallas tile sizes (round 2 rejected the
+    default-512 padding config; round 3 retests 128/256 tiles with
+    segment-id padding 1370 -> 1408)
+
+Also prints the max |Δ| of the loss gradient vs the xla path (bf16 noise
+expected, structural mismatch would be >> 1e-2).
+
+    python tools/probe_vit_attention.py [--frames 8] [--edge 518]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    from dynhor_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--edge", type=int, default=518)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynhor_tpu.models import dino as D
+
+    params, cfg0 = D.load_params(
+        None, D.DinoConfig(smaller_edge_size=args.edge)
+    )
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x = jax.random.normal(
+        jax.random.PRNGKey(0), (args.frames, 3, args.edge, args.edge), jnp.bfloat16
+    )
+    gt = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (args.frames, (args.edge // 14) ** 2, cfg0.embed_dim),
+        jnp.float32,
+    )
+
+    def run(cfg):
+        def loss_fn(img):
+            feats = D.forward_tokens(params, img, cfg, remat="frozen")
+            feats = feats.astype(jnp.float32)
+            cos = (gt * feats).sum(-1) / (
+                jnp.linalg.norm(gt, axis=-1) * jnp.linalg.norm(feats, axis=-1) + 1e-6
+            )
+            return (1.0 - cos).mean()
+
+        g = jax.jit(jax.grad(loss_fn))
+        t0 = time.time()
+        out = jax.block_until_ready(g(x))
+        compile_s = time.time() - t0
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = g(x)
+        jax.block_until_ready(out)
+        dt = (time.time() - t0) / args.iters
+        return out, dt, compile_s
+
+    variants = [
+        ("xla", cfg0),
+        ("flash blk=128", dataclasses.replace(cfg0, attn_impl="flash", flash_block=128)),
+        ("flash blk=256", dataclasses.replace(cfg0, attn_impl="flash", flash_block=256)),
+        ("flash blk=704", dataclasses.replace(cfg0, attn_impl="flash", flash_block=704)),
+    ]
+    g_ref = None
+    for name, cfg in variants:
+        try:
+            g, dt, cs = run(cfg)
+        except Exception as e:  # noqa: BLE001 — probe tool: report and move on
+            print(f"{name:16s} FAILED: {type(e).__name__}: {e}")
+            continue
+        if g_ref is None:
+            g_ref = g
+            diff = 0.0
+        else:
+            diff = float(
+                jnp.max(jnp.abs(g.astype(jnp.float32) - g_ref.astype(jnp.float32)))
+            )
+        print(
+            f"{name:16s} f+b {dt * 1e3:7.1f} ms  (compile {cs:5.1f} s, "
+            f"max|grad Δ| vs xla {diff:.2e})",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
