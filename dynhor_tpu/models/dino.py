@@ -66,6 +66,12 @@ class DinoConfig:
     attn_impl: str = "xla"
     flash_block: int = 128
 
+    def __post_init__(self):
+        if self.attn_impl not in ("xla", "flash"):
+            raise ValueError(
+                f"attn_impl must be 'xla' or 'flash', got {self.attn_impl!r}"
+            )
+
     @property
     def feat_size(self) -> int:
         # reference dino.py:16: smaller_edge_size // patch_size
@@ -245,29 +251,21 @@ def _interp_pos_embed(pos_embed: Array, grid0: int, gh: int, gw: int) -> Array:
     return jnp.concatenate([cls_pe, out], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
-def forward_tokens(
+def _trunk(
     params: dict[str, Any],
-    images: Array,
-    cfg: DinoConfig = DinoConfig(),
-    remat: bool | str = True,
+    x: Array,
+    cfg: DinoConfig,
+    remat: bool | str,
+    gh: int,
+    gw: int,
 ) -> Array:
-    """ViT forward; returns final-layernormed PATCH tokens (B, N, D).
-
-    Equivalent to dinov2's ``get_intermediate_layers(x)[0]`` with default
-    n=1, norm=True (the reference's extract_features, dino.py:19-22): the
-    last block's output, final LN applied, cls token stripped.
+    """cls + pos-embed + block scan + final LN on patch-embedded tokens.
 
     Args:
-      images: (B, 3, H, W), ImageNet-normalized, H/W divisible by patch.
+      x: (B, gh*gw, D) patch-embedded tokens (any patch-embed front end).
     """
-    p = cfg.patch_size
-    b, c, hh, ww = images.shape
-    gh, gw = hh // p, ww // p
-    x = images.reshape(b, c, gh, p, gw, p).transpose(0, 2, 4, 1, 3, 5)
-    x = x.reshape(b, gh * gw, c * p * p)
-    x = x @ params["patch_kernel"] + params["patch_bias"]
-    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim))
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"], (b, 1, cfg.embed_dim)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
     pos = _interp_pos_embed(params["pos_embed"], cfg.pos_grid, gh, gw)
     x = x + pos.astype(x.dtype)  # pos-embed interp is f32; keep bf16 carry
@@ -305,6 +303,106 @@ def forward_tokens(
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = _layer_norm(x, params["norm_scale"], params["norm_bias"], cfg.layer_norm_eps)
     return x[:, 1:]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
+def forward_tokens(
+    params: dict[str, Any],
+    images: Array,
+    cfg: DinoConfig = DinoConfig(),
+    remat: bool | str = True,
+) -> Array:
+    """ViT forward; returns final-layernormed PATCH tokens (B, N, D).
+
+    Equivalent to dinov2's ``get_intermediate_layers(x)[0]`` with default
+    n=1, norm=True (the reference's extract_features, dino.py:19-22): the
+    last block's output, final LN applied, cls token stripped.
+
+    Args:
+      images: (B, 3, H, W), ImageNet-normalized, H/W divisible by patch.
+    """
+    p = cfg.patch_size
+    b, c, hh, ww = images.shape
+    gh, gw = hh // p, ww // p
+    x = images.reshape(b, c, gh, p, gw, p).transpose(0, 2, 4, 1, 3, 5)
+    x = x.reshape(b, gh * gw, c * p * p)
+    x = x @ params["patch_kernel"] + params["patch_bias"]
+    return _trunk(params, x, cfg, remat, gh, gw)
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_resize_factor(small: int, edge: int, patch: int) -> np.ndarray:
+    """(g, patch, small) bicubic align-corners resampling matrix, grouped
+    by patch row: row (a, u) of the (edge, small) matrix is the weights of
+    resized pixel a*patch+u over the `small` source pixels."""
+    from ..ops.resize import _bicubic_matrix_ac
+
+    return _bicubic_matrix_ac(small, edge).reshape(edge // patch, patch, small)
+
+
+def fused_patch_tokens(
+    params: dict[str, Any], rgb_small: Array, cfg: DinoConfig = DinoConfig()
+) -> Array:
+    """Patch-embed tokens straight from a small crop — the exact linear
+    composition of (bicubic align-corners resize to ``smaller_edge_size``)
+    ∘ (ImageNet normalization) ∘ (14x14 patchify + embed matmul).
+
+    The reference materializes the upsampled image per optimizer step
+    (F.interpolate to 518^2 at pose_initializtion.py:171,287 feeding the
+    14x14 conv patch embed); resize and patch-embed are both linear maps,
+    so their composition factors into three small einsums over the 256^2
+    grid — the 518^2x3 intermediate (and its backward transpose) never
+    exists, and the ImageNet affine folds into the kernel/bias.
+
+    Resampling contractions run in f32 (exact parity with the f32 resize);
+    the embedding matmul runs in the params' dtype (bf16 MXU path when
+    pre-cast), matching forward_tokens' numerics to bf16 rounding.
+
+    Args:
+      rgb_small: (B, 3, s, s) in [0, 1] — NOT ImageNet-normalized.
+
+    Returns: (B, g*g, D) tokens, g = smaller_edge_size // patch_size.
+    """
+    p = cfg.patch_size
+    edge = cfg.smaller_edge_size
+    if edge % p:
+        raise ValueError(f"smaller_edge_size {edge} not divisible by patch {p}")
+    g = edge // p
+    b, c, s, _ = rgb_small.shape
+    W = jnp.asarray(_fused_resize_factor(s, edge, p))  # (g, p, s) f32
+    kernel = params["patch_kernel"]  # (3*p*p, D)
+    dtype = kernel.dtype
+    d = kernel.shape[-1]
+    k32 = kernel.astype(jnp.float32).reshape(c, p, p, d)
+    inv_std = jnp.asarray(1.0 / IMAGENET_STD)
+    kn = (k32 * inv_std[:, None, None, None]).astype(dtype)  # (c,p,p,D)
+    # Constant inputs resize to themselves (clamped-tap rows sum to 1), so
+    # the mean-subtraction folds into a single bias correction.
+    bias = params["patch_bias"].astype(jnp.float32) - jnp.einsum(
+        "cuvd,c->d", k32, jnp.asarray(IMAGENET_MEAN / IMAGENET_STD)
+    )
+    x = rgb_small.astype(jnp.float32)
+    y = jnp.einsum("aup,bcpq->bcuaq", W, x)  # rows resampled
+    z = jnp.einsum("bcuaq,nvq->bcuanv", y, W)  # cols resampled
+    t = jnp.einsum("bcuanv,cuvd->band", z.astype(dtype), kn)
+    return (t + bias.astype(dtype)).reshape(b, g * g, d)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "remat"))
+def forward_tokens_from_crop(
+    params: dict[str, Any],
+    rgb_small: Array,
+    cfg: DinoConfig = DinoConfig(),
+    remat: bool | str = True,
+) -> Array:
+    """ViT forward from an un-normalized SMALL crop (B, 3, s, s) in [0,1]:
+    fused resize+normalize+patch-embed (fused_patch_tokens), then the
+    shared trunk.  Token-level equivalent of
+    ``forward_tokens(params, normalize(resize(rgb, edge)), cfg, remat)``.
+    """
+    g = cfg.feat_size
+    x = fused_patch_tokens(params, rgb_small, cfg)
+    return _trunk(params, x, cfg, remat, g, g)
 
 
 def extract_features(

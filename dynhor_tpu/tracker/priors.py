@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..models import dino as dino_mod
 from ..ops import rasterize as rz
 from ..ops import silhouette  # noqa: F401  (re-exported for kernels tests)
-from ..ops.resize import resize_bicubic_align_corners, resize_nearest
+from ..ops.resize import resize_nearest
 from ..ops.roi_align import roi_align
 from ..ops.shading import default_lights, phong_shade
 from ..utils import bbox as bboxu
@@ -203,18 +203,14 @@ def _dino_feats_of_crops(
     Mirrors pose_initializtion.py:224-226 (bicubic to 518, extract,
     F.normalize).  The ViT runs in ``dtype`` (bf16 default, forward-only).
     """
-    edge = dino_cfg.smaller_edge_size
-    imgs = resize_bicubic_align_corners(crop_imgs, edge, edge)
-    # ImageNet-normalize in f32 FIRST, then cast: extract_features' f32
-    # mean/std constants would otherwise promote a bf16 input back to f32
-    # and silently undo the MXU fast path.
-    mean = jnp.asarray(dino_mod.IMAGENET_MEAN).reshape(1, 3, 1, 1)
-    std = jnp.asarray(dino_mod.IMAGENET_STD).reshape(1, 3, 1, 1)
-    imgs = (imgs - mean) / std
+    # Fused resize(518)+ImageNet-normalize+patch-embed (models/dino.py
+    # fused_patch_tokens): the upsampled image never materializes; the
+    # embed matmul runs in the params' dtype (bf16 MXU path when cast).
     if dtype == "bfloat16":
         dino_params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), dino_params)
-        imgs = imgs.astype(jnp.bfloat16)
-    feats = dino_mod.forward_tokens(dino_params, imgs, dino_cfg).astype(jnp.float32)
+    feats = dino_mod.forward_tokens_from_crop(
+        dino_params, crop_imgs, dino_cfg
+    ).astype(jnp.float32)
     return feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-6)
 
 

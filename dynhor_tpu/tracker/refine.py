@@ -32,7 +32,7 @@ import optax
 from ..models import dino as dino_mod
 from ..ops import rasterize as rz
 from ..ops.rasterize_tiled import rasterize_tiled, soft_silhouette_tiled
-from ..ops.resize import resize_bicubic_align_corners, resize_nearest
+from ..ops.resize import resize_nearest
 from ..ops.shading import fine_lights, phong_shade
 from ..ops.silhouette import soft_silhouette
 from ..utils import camera as cam
@@ -193,17 +193,11 @@ def _frame_loss(
             frag, mesh.faces, verts_t, vn, mesh.face_uvs, mesh.texture, fine_lights()
         )
         rgb = rgba[..., :3].transpose(2, 0, 1)  # (3, S, S)
-        edge = dino_cfg.smaller_edge_size
-        dino_in = resize_bicubic_align_corners(rgb[None], edge, edge)
-        mean = jnp.asarray(dino_mod.IMAGENET_MEAN).reshape(1, 3, 1, 1)
-        std = jnp.asarray(dino_mod.IMAGENET_STD).reshape(1, 3, 1, 1)
-        dino_in = (dino_in - mean) / std
-        # Params are pre-cast once in refine_poses (cfg.dino_dtype); match
-        # the input dtype to theirs so the ViT runs uniformly.
-        param_dtype = jax.tree.leaves(dino_params)[0].dtype
-        feats = dino_mod.forward_tokens(
-            dino_params, dino_in.astype(param_dtype), dino_cfg,
-            remat=cfg.dino_remat,
+        # Fused resize(518)+ImageNet-normalize+patch-embed: the upsampled
+        # image (and its backward) never materializes; the embed matmul
+        # runs in the params' dtype (pre-cast once in refine_poses).
+        feats = dino_mod.forward_tokens_from_crop(
+            dino_params, rgb[None], dino_cfg, remat=cfg.dino_remat,
         )[0].astype(jnp.float32)  # (P, D) — NOT normalized (reference :172,183)
         fs = dino_cfg.feat_size
         ref_small = resize_nearest(ref_mask, fs, fs).reshape(-1)  # (P,)

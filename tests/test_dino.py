@@ -276,3 +276,64 @@ def test_attn_impl_flash_falls_back_on_cpu():
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56), jnp.float32)
     out = D.forward_tokens(params, x, cfg, remat=False)
     assert out.shape == (1, 16, cfg.embed_dim)
+
+
+def test_fused_patch_tokens_matches_resize_then_embed():
+    """fused_patch_tokens == patchify(normalize(bicubic_resize(x))) @ kernel.
+
+    The fused path (models/dino.py) composes three linear maps; f32 params
+    make the comparison exact to matmul reassociation (~1e-4)."""
+    from dynhor_tpu.ops.resize import resize_bicubic_align_corners
+
+    cfg = dataclasses.replace(_small_cfg(), smaller_edge_size=98)  # g=7
+    params = D.init_params(jax.random.PRNGKey(0), cfg)
+    rgb = jax.random.uniform(jax.random.PRNGKey(1), (2, 3, 48, 48))
+
+    fused = D.fused_patch_tokens(params, rgb, cfg)
+
+    p = cfg.patch_size
+    edge = cfg.smaller_edge_size
+    g = edge // p
+    big = resize_bicubic_align_corners(rgb, edge, edge)
+    mean = jnp.asarray(D.IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(D.IMAGENET_STD).reshape(1, 3, 1, 1)
+    big = (big - mean) / std
+    x = big.reshape(2, 3, g, p, g, p).transpose(0, 2, 4, 1, 3, 5)
+    x = x.reshape(2, g * g, 3 * p * p)
+    ref = x @ params["patch_kernel"] + params["patch_bias"]
+
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
+
+
+def test_forward_tokens_from_crop_matches_forward_tokens():
+    """End-to-end token equivalence of the fused front end (f32 params)."""
+    from dynhor_tpu.ops.resize import resize_bicubic_align_corners
+
+    cfg = _small_cfg()
+    params = D.init_params(jax.random.PRNGKey(0), cfg)
+    rgb = jax.random.uniform(jax.random.PRNGKey(2), (1, 3, 64, 64))
+
+    fused = D.forward_tokens_from_crop(params, rgb, cfg, remat=False)
+
+    edge = cfg.smaller_edge_size
+    big = resize_bicubic_align_corners(rgb, edge, edge)
+    mean = jnp.asarray(D.IMAGENET_MEAN).reshape(1, 3, 1, 1)
+    std = jnp.asarray(D.IMAGENET_STD).reshape(1, 3, 1, 1)
+    ref = D.forward_tokens(params, (big - mean) / std, cfg, remat=False)
+
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-3)
+
+
+def test_fused_patch_tokens_grad_flows():
+    """Gradient w.r.t. the small crop flows through the fused front end."""
+    cfg = dataclasses.replace(_small_cfg(), smaller_edge_size=28)  # g=2
+    params = D.init_params(jax.random.PRNGKey(0), cfg)
+    rgb = jax.random.uniform(jax.random.PRNGKey(3), (1, 3, 16, 16))
+    g = jax.grad(lambda im: D.fused_patch_tokens(params, im, cfg).sum())(rgb)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_dino_config_rejects_bad_attn_impl():
+    with pytest.raises(ValueError, match="attn_impl"):
+        D.DinoConfig(attn_impl="flsh")

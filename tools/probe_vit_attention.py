@@ -87,13 +87,15 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — probe tool: report and move on
             print(f"{name:16s} FAILED: {type(e).__name__}: {e}")
             continue
-        if g_ref is None:
+        # The grad-diff baseline is the 'xla' variant SPECIFICALLY — if it
+        # failed, report the others without a (mislabeled) comparison.
+        if name == "xla":
             g_ref = g
-            diff = 0.0
-        else:
-            diff = float(
-                jnp.max(jnp.abs(g.astype(jnp.float32) - g_ref.astype(jnp.float32)))
-            )
+        diff = (
+            float(jnp.max(jnp.abs(g.astype(jnp.float32) - g_ref.astype(jnp.float32))))
+            if g_ref is not None
+            else float("nan")
+        )
         print(
             f"{name:16s} f+b {dt * 1e3:7.1f} ms  (compile {cs:5.1f} s, "
             f"max|grad Δ| vs xla {diff:.2e})",
