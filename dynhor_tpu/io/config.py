@@ -78,6 +78,9 @@ DEFAULTS: dict[str, Any] = {
         "face_chunk": 512,
         "frame_chunk": None,  # optional microbatching of frames
         "devices": None,  # None = all local devices for the frame shard
+        # Validate the dataroot against the README.md:27-44 convention
+        # before loading (io/ingest.py) — errors raise, warnings print.
+        "validate_data": True,
     },
 }
 

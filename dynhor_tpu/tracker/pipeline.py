@@ -335,6 +335,24 @@ def track_sequence(
         with prof.phase("gating+autodepth"):
             gate = S.gate_all_frames(scores, priors_row)
             rot_init = gate.rotation_init  # (F, 3, 3)
+            oracle = sysc.get("oracle_init") or {}
+            if oracle.get("enabled"):
+                # ABLATION: replace the DINO-gated init with the GT-nearest
+                # prior view (synthetic sequences only — isolates the view
+                # selection from refine+joint robustness; VERDICT r3 #3).
+                gt = np.load(oracle["gt_poses"])
+                gt_row = jnp.asarray(gt["R"]).swapaxes(-1, -2)  # column->row
+                ang = G.rotation_angle_difference(
+                    priors_row[None, :], gt_row[:, None]
+                )  # (F, N) degrees
+                oracle_idx = jnp.argmin(ang, axis=1)
+                rot_init = priors_row[oracle_idx]
+                gate = gate._replace(selected_idx=oracle_idx)
+                print(
+                    "[ablation] oracle init: GT-nearest prior view per frame"
+                    f" (mean residual {float(ang.min(1).mean()):.1f} deg)",
+                    flush=True,
+                )
             trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
             jax.block_until_ready(trans_init)
             cap, act_cap = _counted_refine_cap(rot_init, trans_init, K_rois)
@@ -434,6 +452,13 @@ def run_from_config(config: dict[str, Any], exps_root: str = "exps") -> TrackRes
 
     t0 = _time.time()
     data_info = config["data_info"]
+    # Fail loudly on miswired exports (channel order, soft masks, size
+    # mismatches — io/ingest.py) BEFORE any device work; real sequences
+    # come from external models (SAM-v2 etc.) the reference consumes blind.
+    if bool(config.get("system", {}).get("validate_data", True)):
+        from ..io.ingest import validate_or_raise
+
+        validate_or_raise(data_info["dataroot"])
     seq = load_sequence(data_info["dataroot"])
     ann = process_frames(
         seq,
