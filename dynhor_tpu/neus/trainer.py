@@ -136,13 +136,26 @@ class TrainState(NamedTuple):
 
 
 def make_train_step(
-    sdf_cfg: SDFConfig, rcfg: RenderConfig, tcfg: TrainConfig, opt
+    sdf_cfg: SDFConfig, rcfg: RenderConfig, tcfg: TrainConfig, opt,
+    ray_sharding=None,
 ):
-    """Build the jitted train step closure."""
+    """Build the jitted train step closure.
+
+    ray_sharding: optional ``jax.sharding.Sharding`` pinned onto the
+    sampled ray batch — data parallelism over rays (SURVEY.md §2.3): field
+    params stay replicated, per-ray rendering shards across the mesh, and
+    the loss means / param grads become XLA-inserted psums over ICI.
+    Numerics are identical to the unsharded step (same key, same batch).
+    """
 
     def loss_fn(params, bg, key, data: ReconData, corr: CorrData | None, occ):
         k_pix, k_render, k_corr, k_eik, k_shell = jax.random.split(key, 5)
         fr, xy, rgb_gt, mask_gt, nrm_gt = sample_ray_batch(k_pix, data, tcfg.batch_rays)
+        if ray_sharding is not None:
+            con = lambda a: jax.lax.with_sharding_constraint(a, ray_sharding)
+            fr, xy, rgb_gt, mask_gt = con(fr), con(xy), con(rgb_gt), con(mask_gt)
+            if nrm_gt is not None:
+                nrm_gt = con(nrm_gt)
         rays = _rays_for(data, fr, xy, rcfg.bound)
         out = render_rays(params, sdf_cfg, rcfg, rays, k_render, occ)
 
