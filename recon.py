@@ -53,7 +53,20 @@ def main() -> None:
         f", correspondences={'yes' if corr is not None else 'no'}"
     )
 
-    sdf_cfg = F.SDFConfig(encoder=str(rc.get("encoder", "pe")))
+    encoder = str(rc.get("encoder", "pe"))
+    if encoder == "hash":
+        # The gather-bound hash encoder runs 40-70x slower than the
+        # production pe+occgrid path on TPU (0.5-0.8K vs 33.5K rays/s —
+        # BASELINE.md encoder matrix); it ships for instant-nsr-pl parity,
+        # not speed.  See the design note at dynhor_tpu/neus/fields.py:8.
+        print(
+            "WARNING: system.recon.encoder='hash' is the PARITY path, not the"
+            " fast path on TPU (~0.5-0.8K rays/s vs ~33.5K for encoder='pe'"
+            " with the occgrid sampler); see dynhor_tpu/neus/fields.py design"
+            " note",
+            flush=True,
+        )
+    sdf_cfg = F.SDFConfig(encoder=encoder)
     rcfg = R.RenderConfig(
         n_coarse=int(rc.get("n_coarse", 64)),
         n_importance=int(rc.get("n_importance", 64)),
