@@ -17,11 +17,15 @@ rasterizations, 100 steps/frame, frames sequential).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 REFERENCE_FRAMES_PER_SEC = 0.10  # documented estimate, see BASELINE.md
-FRAMES = 8
+# Frames per step: the pipeline refines ALL video frames in one vmapped
+# batch (12-frame demo, 16-frame micro-batches in run_multi), so the bench
+# batch models that; overridable for batch-scaling probes.
+FRAMES = int(os.environ.get("DYNHOR_BENCH_FRAMES", "8"))
 ITERS = 10  # timed steps; frames/sec extrapolated to the 100-step refine
 CROP = 256
 REFINE_STEPS_FULL = 100

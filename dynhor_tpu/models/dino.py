@@ -157,12 +157,27 @@ def _attention(q: Array, k: Array, v: Array, hd: int) -> Array:
     128-tile blocks + segment-id padding (1370 -> 1408, +2.8%) under the
     "frozen" remat policy — see _flash_attention / DinoConfig.attn_impl.
     This XLA path stays the default and the only non-TPU path.
+
+    Softmax is written out by hand with the exp output cast to the compute
+    dtype BEFORE normalization and the 1/sum folded in AFTER the
+    probabilities@V matmul: ``jax.nn.softmax(s32).astype(bf16)`` makes XLA
+    materialize the (B, H, N, N) probabilities in BOTH f32 and bf16 (seen
+    directly in an HBM dump: 8.3 G f32 + 4.2 G bf16 buffers at the
+    production shape), while this formulation keeps every N x N-sized
+    buffer in the compute dtype — the f32 exp exists only inside a fusion.
+    Numerics: identical in f32; in bf16 the rounding moves from
+    "round(p/sum)" to "round(p)/sum", the same 2^-8 relative scale.
     """
     dtype = q.dtype
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(1.0 / np.sqrt(hd), dtype)
-    # Softmax in f32 for stability, back to the compute dtype.
-    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(1.0 / np.sqrt(hd), dtype)
+    s32 = s.astype(jnp.float32)
+    m = jax.lax.stop_gradient(s32.max(axis=-1, keepdims=True))
+    p32 = jnp.exp(s32 - m)
+    denom = p32.sum(axis=-1)  # (B, H, N) f32, tiny
+    p = p32.astype(dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    inv = (1.0 / denom).astype(dtype).transpose(0, 2, 1)[..., None]  # (B,N,H,1)
+    return o * inv
 
 
 def _flash_attention(q: Array, k: Array, v: Array, hd: int, block: int) -> Array:

@@ -2,6 +2,7 @@
 sharded, results match per-sequence single runs."""
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -59,6 +60,7 @@ def _targets_for(mesh, frames, seed):
     )
 
 
+@pytest.mark.mid
 def test_multiseq_pool_matches_per_sequence():
     mesh_a = _box_mesh(1.0)
     mesh_b = _box_mesh(0.7, nv_extra=3)  # different scale AND vertex count
@@ -102,6 +104,7 @@ def test_multiseq_pool_matches_per_sequence():
     np.testing.assert_allclose(np.asarray(res_sh.rot6d), want_rot, atol=1e-4)
 
 
+@pytest.mark.mid
 def test_multiseq_four_videos_seq_frame_mesh():
     """BASELINE config #5 at test scale: FOUR sequences pooled, the flat
     frame pool sharded over the 2-D seq x frames mesh
@@ -149,6 +152,7 @@ def test_multiseq_four_videos_seq_frame_mesh():
     assert len(res.rot6d.sharding.device_set) in (1, 8)  # 8 when committed
 
 
+@pytest.mark.mid
 def test_multiseq_frame_microbatch_exact():
     """frames_per_launch slicing is numerically EXACT (fine-mode frames are
     independent: per-frame params/Adam state, summed loss) — the single-chip

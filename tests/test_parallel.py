@@ -23,6 +23,7 @@ def test_make_mesh_and_shard_leading():
     np.testing.assert_allclose(np.asarray(sharded["a"]), np.asarray(x))
 
 
+@pytest.mark.mid
 def test_sharded_refine_matches_single_device():
     """The vmapped refine step must produce identical results whether the
     frame axis is sharded over 8 devices or lives on one."""
@@ -97,6 +98,7 @@ def test_seq_frame_mesh_2d():
     assert mesh.shape == {"seq": 2, "frames": 4}
 
 
+@pytest.mark.mid
 def test_sharded_neus_render_rays():
     """NeuS ray batches shard over devices (the 'rays' axis)."""
     from dynhor_tpu.neus import fields as F

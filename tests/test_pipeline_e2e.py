@@ -153,6 +153,7 @@ def _tiny_dino():
 
 
 @pytest.mark.parametrize("parallel", [True, False])
+@pytest.mark.mid
 def test_track_sequence_end_to_end(demo_dir, tmp_path, parallel):
     cfg = _tiny_config(demo_dir)
     cfg["system"]["parallel_refine"] = parallel
@@ -198,6 +199,7 @@ def test_visualizer_overlay(demo_dir):
     assert not np.allclose(out, img)  # something was drawn
 
 
+@pytest.mark.mid
 def test_track_sequence_grid_render_mode(demo_dir):
     # Grid prior mode (reference `random_render: false` -> azimuth x
     # elevation x roll grid, run.py:134-136) through the full pipeline.

@@ -80,6 +80,7 @@ def test_window_render_equals_fullframe_crop(mesh):
         assert not full_alpha.any()
 
 
+@pytest.mark.mid
 def test_bf16_vs_f32_prior_score_ranking(mesh):
     verts, faces, face_uvs, texture = mesh
     # Tiny ViT (random weights) — the test bounds the bf16-vs-f32 retrieval
@@ -161,6 +162,7 @@ def test_prior_batched_counts_safe_cap(mesh, capsys):
     np.testing.assert_allclose(s_small, s_full, atol=1e-5)
 
 
+@pytest.mark.mid
 def test_two_stage_prescreen_scores(mesh):
     # Two-stage retrieval (prior_scores_two_stage): rescored columns must
     # equal single-stage full-res scores exactly; the calibrated fill must

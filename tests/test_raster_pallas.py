@@ -51,6 +51,7 @@ def test_fused_matches_tiled_soft_silhouette(scene):
     np.testing.assert_allclose(np.asarray(sil), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.mid
 def test_fused_silhouette_gradient_matches(scene):
     vc, _, faces, K = scene
 
@@ -198,6 +199,7 @@ def test_analytic_tile_mass_gradient_matches_autodiff():
                 )
 
 
+@pytest.mark.mid
 def test_active_tile_compaction_matches_dense(scene):
     """max_active_tiles compaction == dense over all tiles: forward
     (pix_to_face exact; sil/zbuf/bary to float rounding — the compacted

@@ -77,6 +77,7 @@ def test_tiled_soft_silhouette_matches_dense():
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(dense), atol=2e-3)
 
 
+@pytest.mark.mid
 def test_tiled_soft_silhouette_gradients_match_dense():
     vp, faces = _shoes_view(size=128, seed=2, dist=1.7)
 

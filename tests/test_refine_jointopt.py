@@ -2,6 +2,7 @@
 from a known pose, perturb, optimize, assert recovery."""
 import dataclasses
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,6 +134,7 @@ def test_refine_fine_mode_runs_and_improves():
     assert res.rot6d.shape == (2, 3, 2)
 
 
+@pytest.mark.mid
 def test_jointopt_reduces_loss_and_smooths():
     mesh = _mesh()
     F = 6
