@@ -24,6 +24,7 @@ the z rows ride along for the depth test.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,29 @@ from .silhouette_pallas import (
 Array = jax.Array
 
 _BIG_Z = 3.0e38  # "no hit" depth sentinel (finite: inf-inf NaN traps in VPU min)
+
+
+class CompactTiles(NamedTuple):
+    """Active-tile raster outputs in the COMPACTED tile layout.
+
+    Shading a 256² crop densely pays a (H·W)-row gather + scatter-add
+    backward even though ~75% of tiles contain no candidate face
+    (production shoes scene) — the same ROW-COUNT-bound cost the raster's
+    active-tile compaction already eliminates.  This carries the compacted
+    per-pixel raster results so ops/shading.phong_shade_tiles can shade
+    ONLY active tiles and scatter the result into the dense background.
+
+    Attributes:
+      act_ids: (t_act,) int32 dense tile index of each compacted row
+        (sentinel t_total for padding rows past the true active count).
+      fid: (t_act, tile*tile) int32 winning face per pixel, -1 = no hit.
+      bary: (t_act, tile*tile, 3) barycentrics (0 where no hit),
+        differentiable w.r.t. the projected vertices.
+    """
+
+    act_ids: Array
+    fid: Array
+    bary: Array
 
 
 _FWD_FC = 512  # face-chunk inside the fused fwd kernel: (P x M) temporaries
@@ -471,7 +495,7 @@ _fused_tiles.defvjp(_fused_tiles_fwd, _fused_tiles_bwd)
     jax.jit,
     static_argnames=(
         "image_size", "tile", "max_faces", "sigma", "znear", "dist_mode",
-        "max_tiles_per_face", "max_active_tiles",
+        "max_tiles_per_face", "max_active_tiles", "return_compact",
     ),
 )
 def rasterize_silhouette_pallas(
@@ -485,7 +509,8 @@ def rasterize_silhouette_pallas(
     dist_mode: str = "linear",
     max_tiles_per_face: int = 32,
     max_active_tiles: int | None = None,
-) -> tuple[Fragments, Array, Array]:
+    return_compact: bool = False,
+) -> tuple[Fragments, Array, Array] | tuple[Fragments, Array, Array, "CompactTiles | None"]:
     """Fused replacement for rasterize_tiled + soft_silhouette_pallas.
 
     One bin_faces (at the silhouette's margin — a superset of the hard
@@ -505,7 +530,11 @@ def rasterize_silhouette_pallas(
     tiles contribute exactly (mass 0, no hit): the compacted scatter-back
     fills those defaults.
 
-    Returns (Fragments, soft_silhouette (H, W), overflow () int32).
+    Returns (Fragments, soft_silhouette (H, W), overflow () int32); with
+    ``return_compact=True`` a fourth element carrying the compacted
+    active-tile raster (CompactTiles, for ops/shading.phong_shade_tiles)
+    or None when compaction is off (``max_active_tiles`` None or >= the
+    tile count) — shading then falls back to the dense path.
     The overflow count is the number of face-tile pairs DROPPED — by the
     static per-tile cap (corrupts values), by ``max_tiles_per_face`` in
     the backward inverse (loses gradient contributions of faces spanning
@@ -585,6 +614,30 @@ def rasterize_silhouette_pallas(
             dist_mode, znear,
         )
         p_tile = tile * tile
+        compact = None
+        if return_compact:
+            # Compacted per-pixel face id + barycentrics so shading can run
+            # on active tiles only (CompactTiles docstring).  Padding rows
+            # (act_ids == t_total) have valid_act all-False -> no hit ->
+            # fid -1, bary 0.
+            hit_c = zmin_c[:t_act] < (_BIG_Z * 0.5)
+            fid_c = jnp.take_along_axis(indices_act, jbest_c[:t_act], axis=1)
+            fid_c = jnp.where(hit_c, fid_c, -1).astype(jnp.int32)
+            k = jnp.arange(p_tile, dtype=jnp.int32)
+            gx_c = (
+                (act_ids % tw)[:, None] * tile + (k % tile)[None, :]
+            ).astype(jnp.float32) + 0.5
+            gy_c = (
+                (act_ids // tw)[:, None] * tile + (k // tile)[None, :]
+            ).astype(jnp.float32) + 0.5
+            bary_c = barycentrics_from_rows(
+                rows_all[:, :6], fid_c.reshape(-1), gx_c.reshape(-1),
+                gy_c.reshape(-1),
+            )
+            bary_c = jnp.where(
+                (fid_c.reshape(-1) >= 0)[:, None], bary_c, 0.0
+            ).reshape(t_act, p_tile, 3)
+            compact = CompactTiles(act_ids=act_ids, fid=fid_c, bary=bary_c)
         # Scatter back to the dense tile grid; padding rows (act_ids ==
         # t_total) drop out of bounds.
         mass = (
@@ -608,6 +661,7 @@ def rasterize_silhouette_pallas(
             t_total, m, tile, tw, sigma, dist_mode, znear,
         )
         mass, zmin, jbest = mass[:t_total], zmin[:t_total], jbest[:t_total]
+        compact = None
 
     sil = 1.0 - jnp.exp(-mass)
 
@@ -637,7 +691,10 @@ def rasterize_silhouette_pallas(
         bary=jnp.where(hit_img.reshape(-1, 1), bary, 0.0).reshape(h, w, 3),
         zbuf=zbuf_img,
     )
-    return frag, sil_img, bins.overflow + k_overflow + act_overflow
+    overflow = bins.overflow + k_overflow + act_overflow
+    if return_compact:
+        return frag, sil_img, overflow, compact
+    return frag, sil_img, overflow
 
 
 @functools.partial(

@@ -105,23 +105,28 @@ def phong_shade(
       face_uvs: (F, 3, 2) per-corner UVs.
       texture: (Ht, Wt, 3).
     """
-    def _safe_unit(v, eps2=1e-12):
-        # Double-where normalization (clean zero + zero gradient at v=0;
-        # see ops/rasterize.compute_vertex_normals).
-        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-        safe = n2 > eps2
-        n2_safe = jnp.where(safe, n2, 1.0)
-        return jnp.where(safe, v / jnp.sqrt(n2_safe), 0.0)
+    h, w = fragments.pix_to_face.shape
+    packed = pack_shading_rows(faces, verts_cam, vert_normals_cam, face_uvs)
+    rgb, live = _shade_flat(
+        packed, fragments.pix_to_face.reshape(-1), fragments.bary.reshape(-1, 3),
+        texture, lights, shininess, background,
+    )
+    return jnp.concatenate([rgb, live.astype(rgb.dtype)], axis=-1).reshape(
+        h, w, 4
+    )
 
-    hit = (fragments.pix_to_face >= 0)[..., None]
-    # Pack all per-face shading attributes into ONE (F, 24) row tensor so
-    # each pixel does a single one-hop row gather instead of three chained
-    # faces[fidx] -> attr[...] gathers (the chained pattern measured as
-    # expensive as a whole raster kernel at production scale; same trick
-    # as ops/raster_pallas' packed rows).  The F-sized gathers here are
-    # ~13x smaller than pixel-sized ones.
+
+def pack_shading_rows(
+    faces: Array, verts_cam: Array, vert_normals_cam: Array, face_uvs: Array
+) -> Array:
+    """Pack all per-face shading attributes into ONE (F, 24) row tensor so
+    each pixel does a single one-hop row gather instead of three chained
+    faces[fidx] -> attr[...] gathers (the chained pattern measured as
+    expensive as a whole raster kernel at production scale; same trick
+    as ops/raster_pallas' packed rows).  The F-sized gathers here are
+    ~13x smaller than pixel-sized ones."""
     f = faces.shape[0]
-    packed = jnp.concatenate(
+    return jnp.concatenate(
         [
             verts_cam[faces].reshape(f, 9),
             vert_normals_cam[faces].reshape(f, 9),
@@ -129,25 +134,97 @@ def phong_shade(
         ],
         axis=1,
     )  # (F, 24)
-    h, w = fragments.pix_to_face.shape
-    fid = fragments.pix_to_face.reshape(-1)
-    bary = fragments.bary.reshape(-1, 3)
+
+
+def _safe_unit(v, eps2=1e-12):
+    # Double-where normalization (clean zero + zero gradient at v=0;
+    # see ops/rasterize.compute_vertex_normals).
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    safe = n2 > eps2
+    n2_safe = jnp.where(safe, n2, 1.0)
+    return jnp.where(safe, v / jnp.sqrt(n2_safe), 0.0)
+
+
+def _shade_flat(
+    packed: Array,
+    fid: Array,
+    bary: Array,
+    texture: Array,
+    lights: Lights,
+    shininess: float,
+    background: float,
+) -> tuple[Array, Array]:
+    """Phong-shade a flat pixel list; returns (rgb (P, 3), live (P, 1))."""
+    f = packed.shape[0]
     rows = packed[jnp.clip(fid, 0, f - 1)]  # (P, 24) — the ONE pixel gather
     pos = jnp.einsum("pk,pkd->pd", bary, rows[:, 0:9].reshape(-1, 3, 3))
     nrm = jnp.einsum("pk,pkd->pd", bary, rows[:, 9:18].reshape(-1, 3, 3))
     uv = jnp.einsum("pk,pkd->pd", bary, rows[:, 18:24].reshape(-1, 3, 2))
     live = (fid >= 0)[:, None]
-    pos = jnp.where(live, pos, 0.0).reshape(h, w, 3)
-    nrm = _safe_unit(jnp.where(live, nrm, 0.0).reshape(h, w, 3))
-    uv = jnp.where(live, uv, 0.0).reshape(h, w, 2)
+    pos = jnp.where(live, pos, 0.0)
+    nrm = _safe_unit(jnp.where(live, nrm, 0.0))
+    uv = jnp.where(live, uv, 0.0)
     texel = sample_texture(texture, uv)
 
-    l_dir = _safe_unit(lights.location[None, None] - pos)
+    l_dir = _safe_unit(lights.location[None] - pos)
     v_dir = _safe_unit(-pos)
     ndl = jax.nn.relu(jnp.sum(nrm * l_dir, axis=-1, keepdims=True))
     refl = 2.0 * jnp.sum(nrm * l_dir, axis=-1, keepdims=True) * nrm - l_dir
     rdv = jax.nn.relu(jnp.sum(refl * v_dir, axis=-1, keepdims=True))
-    spec = lights.specular[None, None] * (rdv**shininess)
-    rgb = texel * (lights.ambient[None, None] + lights.diffuse[None, None] * ndl) + spec
-    rgb = jnp.where(hit, rgb, background)
-    return jnp.concatenate([rgb, hit.astype(rgb.dtype)], axis=-1)
+    spec = lights.specular[None] * (rdv**shininess)
+    rgb = texel * (lights.ambient[None] + lights.diffuse[None] * ndl) + spec
+    rgb = jnp.where(live, rgb, background)
+    return rgb, live
+
+
+def phong_shade_tiles(
+    compact,
+    image_size: tuple[int, int],
+    tile: int,
+    faces: Array,
+    verts_cam: Array,
+    vert_normals_cam: Array,
+    face_uvs: Array,
+    texture: Array,
+    lights: Lights,
+    shininess: float = 64.0,
+    background: float = 1.0,
+) -> Array:
+    """phong_shade over ACTIVE raster tiles only; returns dense (H, W, 4).
+
+    The dense path gathers (and scatter-adds in the backward) one packed
+    row per IMAGE pixel even though most tiles contain no candidate face
+    (75% empty on the production shoes scene — the same skew the fused
+    raster's active-tile compaction exploits, ops/raster_pallas.py).  This
+    variant shades the compacted (t_act x tile²) pixel list from
+    CompactTiles and scatters RGBA into the constant background, cutting
+    the gather rows AND the backward scatter rows by the empty-tile
+    fraction.  Pixels in inactive tiles are exactly ``background`` with
+    alpha 0 — identical to the dense result, since a hit requires a
+    candidate face and therefore an active tile.
+    """
+    h, w = image_size
+    th, tw = -(-h // tile), -(-w // tile)
+    t_total, p_tile = th * tw, tile * tile
+    t_act = compact.fid.shape[0]
+    packed = pack_shading_rows(faces, verts_cam, vert_normals_cam, face_uvs)
+    rgb, live = _shade_flat(
+        packed, compact.fid.reshape(-1), compact.bary.reshape(-1, 3),
+        texture, lights, shininess, background,
+    )
+    rgba_c = jnp.concatenate([rgb, live.astype(rgb.dtype)], axis=-1).reshape(
+        t_act, p_tile, 4
+    )
+    base = jnp.concatenate(
+        [
+            jnp.full((t_total, p_tile, 3), background, rgb.dtype),
+            jnp.zeros((t_total, p_tile, 1), rgb.dtype),
+        ],
+        axis=-1,
+    )
+    dense = base.at[compact.act_ids].set(rgba_c, mode="drop")
+    return (
+        dense.reshape(th, tw, tile, tile, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(th * tile, tw * tile, 4)[:h, :w]
+    )

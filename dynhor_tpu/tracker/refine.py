@@ -33,7 +33,7 @@ from ..models import dino as dino_mod
 from ..ops import rasterize as rz
 from ..ops.rasterize_tiled import rasterize_tiled, soft_silhouette_tiled
 from ..ops.resize import resize_nearest
-from ..ops.shading import fine_lights, phong_shade
+from ..ops.shading import fine_lights, phong_shade, phong_shade_tiles
 from ..ops.silhouette import soft_silhouette
 from ..utils import camera as cam
 from ..utils import geometry as G
@@ -146,17 +146,26 @@ def _frame_loss(
             else ("tiled" if cfg.use_tiled else "dense")
         )
     overflow = jnp.zeros((), jnp.int32)
+    compact = None
     if impl == "pallas":
         # One binning + one fused kernel for hard raster AND soft mass
         # (ops/raster_pallas.py) — the separate-raster path binned twice
-        # and streamed (tiles x pixels x faces) through HBM.
+        # and streamed (tiles x pixels x faces) through HBM.  The fine mode
+        # also requests the compacted active-tile raster so Phong shading
+        # runs on active tiles only (ops/shading.phong_shade_tiles).
         from ..ops.raster_pallas import rasterize_silhouette_pallas
 
-        frag, soft, overflow = rasterize_silhouette_pallas(
+        want_compact = cfg.mode == "fine" and cfg.max_active_tiles is not None
+        out = rasterize_silhouette_pallas(
             vp, mesh.faces, (s, s), sigma=cfg.sigma, tile=cfg.tile_size,
             max_faces=cfg.max_faces_per_tile,
             max_active_tiles=cfg.max_active_tiles,
+            return_compact=want_compact,
         )
+        if want_compact:
+            frag, soft, overflow, compact = out
+        else:
+            frag, soft, overflow = out
     elif impl == "tiled":
         frag = rasterize_tiled(
             vp, mesh.faces, (s, s), tile=cfg.tile_size,
@@ -189,9 +198,16 @@ def _frame_loss(
 
     if cfg.mode == "fine":
         vn = rz.compute_vertex_normals(verts_t, mesh.faces)
-        rgba = phong_shade(
-            frag, mesh.faces, verts_t, vn, mesh.face_uvs, mesh.texture, fine_lights()
-        )
+        if compact is not None:
+            rgba = phong_shade_tiles(
+                compact, (s, s), cfg.tile_size, mesh.faces, verts_t, vn,
+                mesh.face_uvs, mesh.texture, fine_lights(),
+            )
+        else:
+            rgba = phong_shade(
+                frag, mesh.faces, verts_t, vn, mesh.face_uvs, mesh.texture,
+                fine_lights(),
+            )
         rgb = rgba[..., :3].transpose(2, 0, 1)  # (3, S, S)
         # Fused resize(518)+ImageNet-normalize+patch-embed: the upsampled
         # image (and its backward) never materializes; the embed matmul

@@ -244,3 +244,62 @@ def test_active_tile_compaction_overflow_surfaced(scene):
         vp, faces, (S, S), max_faces=MAX_FACES, max_active_tiles=8
     )
     assert int(ov) > 0  # dropped whole active tiles must be reported
+
+
+def test_compact_tile_shading_matches_dense(scene):
+    """phong_shade_tiles over CompactTiles == dense phong_shade: forward
+    RGBA and the gradient w.r.t. camera-space vertices (the fine sem-loss
+    path).  Uses a textured shoes mesh so UV sampling is exercised."""
+    from dynhor_tpu.ops.rasterize_tiled import max_active_tiles_load, max_tile_load
+    from dynhor_tpu.ops.shading import fine_lights, phong_shade, phong_shade_tiles
+
+    vc, vp, faces, K = scene
+    m = load_obj("assets/shoes/1229a2e6e97e_A_basketball_shoes_.obj")
+    face_uvs = jnp.asarray(m.face_uvs)
+    texture = jnp.asarray(m.texture)
+    margin = 6.0 * 0.25 + 1.0
+    cap = -(-int(max_tile_load(vp, faces, (S, S), margin=margin)) // 128) * 128
+    n_act = int(max_active_tiles_load(vp, faces, (S, S), margin=margin))
+
+    def render(v, compact_mode):
+        vp_ = rz.project_perspective(v, K)
+        vn = rz.compute_vertex_normals(v, faces)
+        out = rasterize_silhouette_pallas(
+            vp_, faces, (S, S), max_faces=cap,
+            max_active_tiles=(n_act + 4) if compact_mode else None,
+            return_compact=compact_mode,
+        )
+        if compact_mode:
+            frag, _, ov, compact = out
+            assert compact is not None
+            rgba = phong_shade_tiles(
+                compact, (S, S), 16, faces, v, vn, face_uvs, texture,
+                fine_lights(),
+            )
+        else:
+            frag, _, ov = out
+            rgba = phong_shade(
+                frag, faces, v, vn, face_uvs, texture, fine_lights()
+            )
+        return rgba, ov
+
+    rgba_d, ovd = render(vc, False)
+    rgba_c, ovc = render(vc, True)
+    assert int(ovd) == 0 and int(ovc) == 0
+    assert float(rgba_c[..., 3].sum()) > 100.0  # plenty of hit pixels
+    np.testing.assert_allclose(
+        np.asarray(rgba_c), np.asarray(rgba_d), atol=1e-5
+    )
+
+    weight = jnp.sin(jnp.arange(S * S * 4, dtype=jnp.float32) * 0.01).reshape(
+        S, S, 4
+    )
+
+    def loss(v, compact_mode):
+        rgba, _ = render(v, compact_mode)
+        return (rgba * weight).sum()
+
+    gd = jax.grad(lambda v: loss(v, False))(vc)
+    gc = jax.grad(lambda v: loss(v, True))(vc)
+    assert float(jnp.abs(gd).sum()) > 1.0
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=2e-4, rtol=1e-4)

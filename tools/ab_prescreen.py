@@ -26,6 +26,12 @@ def main() -> None:
     enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/custom_shoes.yaml")
+    ap.add_argument(
+        "--variants",
+        default="224:2:48",
+        help="comma list of two-stage prescreen variants edge:scale:topk;"
+        " each is compared against the single-stage run's selected views",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -48,27 +54,44 @@ def main() -> None:
         dino_mod.DinoConfig(smaller_edge_size=int(sysc["dino"]["smaller_edge_size"])),
     )
 
+    variants = []
+    for spec in args.variants.split(","):
+        edge, scale, topk = (int(x) for x in spec.strip().split(":"))
+        variants.append((edge, scale, topk))
+
     results = {}
-    for name, enabled in [("single-stage", False), ("two-stage", True)]:
+    runs = [("single-stage", None)] + [
+        (f"two-stage e{e}/s{s}/k{k}", (e, s, k)) for e, s, k in variants
+    ]
+    for name, var in runs:
         c = copy.deepcopy(cfg)
-        c["system"]["prior"]["prescreen"] = dict(
-            c["system"]["prior"].get("prescreen") or {}, enabled=enabled
-        )
+        ps = dict(c["system"]["prior"].get("prescreen") or {})
+        if var is None:
+            ps["enabled"] = False
+        else:
+            ps.update(enabled=True, edge=var[0], scale=var[1], topk=var[2])
+        c["system"]["prior"]["prescreen"] = ps
         t0 = time.time()
         res = PL.track_sequence(c, seq, ann, mesh, dino_params=dparams, dino_cfg=dcfg)
         dt = time.time() - t0
         results[name] = (res, dt)
         print(f"[{name}] wall {dt:.1f}s, joint IoU {res.history['iou_object'][-1]:.4f}")
 
-    a, b = results["single-stage"][0], results["two-stage"][0]
-    same = int((np.asarray(a.selected_idx) == np.asarray(b.selected_idx)).sum())
+    a = results["single-stage"][0]
     n = len(a.selected_idx)
-    print(f"selected-view agreement: {same}/{n}")
-    print(f"single selected: {np.asarray(a.selected_idx).tolist()}")
-    print(f"two-stage selected: {np.asarray(b.selected_idx).tolist()}")
     iou_a = float(a.history["iou_object"][-1])
-    iou_b = float(b.history["iou_object"][-1])
-    print(f"joint IoU: single {iou_a:.4f} vs two-stage {iou_b:.4f} (d={iou_b-iou_a:+.4f})")
+    print(f"single selected: {np.asarray(a.selected_idx).tolist()}")
+    for name, _ in runs[1:]:
+        b = results[name][0]
+        same = int((np.asarray(a.selected_idx) == np.asarray(b.selected_idx)).sum())
+        iou_b = float(b.history["iou_object"][-1])
+        print(
+            f"[{name}] selected-view agreement: {same}/{n}  "
+            f"joint IoU {iou_b:.4f} (d={iou_b - iou_a:+.4f})  "
+            f"wall {results[name][1]:.1f}s vs single {results['single-stage'][1]:.1f}s"
+        )
+        if same != n:
+            print(f"  {name} selected: {np.asarray(b.selected_idx).tolist()}")
 
 
 if __name__ == "__main__":

@@ -88,6 +88,11 @@ def main() -> None:
         print(f"{name:34s} {dt:7.1f} ms  (compile {compile_s:5.1f}s, probe {val:.3e})", flush=True)
         return dt
 
+    # dino params must be jit ARGUMENTS, not closure constants: closed-over
+    # weights get baked into the StableHLO as literals and the remote
+    # compiler rejects the payload (HTTP 413 length limit exceeded).
+    dp16_arg = jax.tree.map(lambda a: a.astype(jnp.bfloat16), dparams)
+
     def step_fn(mode):
         cfg = RF.RefineConfig(
             num_iterations=1, crop_size=s, mode=mode, face_chunk=512,
@@ -95,12 +100,10 @@ def main() -> None:
         )
         opt = optax.adam(cfg.lr)
 
-        def total(params):
+        def total(params, dp):
             def one(r6, t, tm, gf, Kr):
                 loss, _, _ = RF._frame_loss(
-                    r6, t, mesh, tm, gf, Kr,
-                    jax.tree.map(lambda a: a.astype(jnp.bfloat16), dparams),
-                    dcfg, cfg,
+                    r6, t, mesh, tm, gf, Kr, dp, dcfg, cfg,
                 )
                 return loss
 
@@ -113,8 +116,8 @@ def main() -> None:
         opt_state = opt.init(params)
 
         @jax.jit
-        def step(params, opt_state):
-            loss, grads = jax.value_and_grad(total)(params)
+        def step(params, opt_state, dp):
+            loss, grads = jax.value_and_grad(total)(params, dp)
             updates, opt_state = opt.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
@@ -131,9 +134,9 @@ def main() -> None:
     timed("ViT f+b (fused front, frozen)", jax.jit(jax.grad(vit_loss)), rgb)
 
     step_c, pc_, oc_ = step_fn("coarse")
-    timed("coarse step (raster+sil+losses+adam)", step_c, pc_, oc_)
+    timed("coarse step (raster+sil+losses+adam)", step_c, pc_, oc_, None)
     step_f, pf_, of_ = step_fn("fine")
-    timed("fine step (all)", step_f, pf_, of_)
+    timed("fine step (all)", step_f, pf_, of_, dp16_arg)
 
 
 if __name__ == "__main__":
