@@ -40,9 +40,18 @@ def main() -> None:
         "--normals", action="store_true", default=True,
         help="write monocular_normal maps (from the rendered geometry)",
     )
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (JAX_PLATFORMS is preset by this"
+        " image's sitecustomize, so the env var cannot override it; use"
+        " this when another process holds the TPU)",
+    )
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from PIL import Image
 
