@@ -168,12 +168,20 @@ def _attention(q: Array, k: Array, v: Array, hd: int) -> Array:
     Numerics: identical in f32; in bf16 the rounding moves from
     "round(p/sum)" to "round(p)/sum", the same 2^-8 relative scale.
     """
+    from jax.ad_checkpoint import checkpoint_name
+
     dtype = q.dtype
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * jnp.asarray(1.0 / np.sqrt(hd), dtype)
     s32 = s.astype(jnp.float32)
     m = jax.lax.stop_gradient(s32.max(axis=-1, keepdims=True))
+    # Save the two N-sized softmax reductions under the "frozen" remat
+    # policy (models/dino._trunk): the backward's recompute then rebuilds
+    # the probabilities from the scores matmul + one exp pass, skipping the
+    # max/sum reduction passes over the (B, H, N, N) f32 scores entirely.
+    # They cost (B, H, N) floats of HBM — noise next to the saved traffic.
+    m = checkpoint_name(m, "dino_acts")
     p32 = jnp.exp(s32 - m)
-    denom = p32.sum(axis=-1)  # (B, H, N) f32, tiny
+    denom = checkpoint_name(p32.sum(axis=-1), "dino_acts")  # (B, H, N) f32
     p = p32.astype(dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", p, v)
     inv = (1.0 / denom).astype(dtype).transpose(0, 2, 1)[..., None]  # (B,N,H,1)

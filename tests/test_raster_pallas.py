@@ -246,6 +246,7 @@ def test_active_tile_compaction_overflow_surfaced(scene):
     assert int(ov) > 0  # dropped whole active tiles must be reported
 
 
+@pytest.mark.mid
 def test_compact_tile_shading_matches_dense(scene):
     """phong_shade_tiles over CompactTiles == dense phong_shade: forward
     RGBA and the gradient w.r.t. camera-space vertices (the fine sem-loss
