@@ -40,12 +40,16 @@ DEFAULTS: dict[str, Any] = {
             # Two-stage retrieval (tracker/priors.prior_scores_two_stage):
             # prescreen all views at reduced window/DINO edge, rescore the
             # per-frame top-K union at full res.  Gate-equivalence A/B'd on
-            # the demo clip; disable for exact single-stage parity.
+            # the demo clip (tools/ab_prescreen.py, round 4: e112/s2/k24 and
+            # e224/s2/k48 both select 12/12 views identical to single-stage;
+            # 112/24 is ~4 s faster warm; scale 4 REJECTED — quarter-window
+            # tiles pack denser, slowing the raster more than the smaller
+            # ViT saves).  Disable for exact single-stage parity.
             "prescreen": {
                 "enabled": True,
-                "edge": 224,  # DINO smaller_edge_size for the prescreen
+                "edge": 112,  # DINO smaller_edge_size for the prescreen
                 "scale": 2,  # window/crop divisor for the prescreen render
-                "topk": 48,  # per-frame candidates rescored at full res
+                "topk": 24,  # per-frame candidates rescored at full res
             },
         },
         "dino": {

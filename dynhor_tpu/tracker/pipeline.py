@@ -253,9 +253,9 @@ def track_sequence(
                 jnp.asarray(ann.crop_images), jnp.asarray(ann.target_masks),
                 gt_feats, cos_masks, prior_cfg, window,
                 host_batch=int(pc.get("host_batch", 1000)),
-                prescreen_edge=int(ps.get("edge", 224)),
+                prescreen_edge=int(ps.get("edge", 112)),
                 prescreen_scale=int(ps.get("scale", 2)),
-                topk=int(ps.get("topk", 48)),
+                topk=int(ps.get("topk", 24)),
                 view_mesh=view_mesh,
             )
         else:

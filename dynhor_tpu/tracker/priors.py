@@ -456,9 +456,9 @@ def prior_scores_two_stage(
     cfg: PriorConfig,
     window: int,
     host_batch: int = 1000,
-    prescreen_edge: int = 224,
+    prescreen_edge: int = 112,
     prescreen_scale: int = 2,
-    topk: int = 48,
+    topk: int = 24,
     view_mesh=None,
 ):
     """Two-stage prior retrieval: cheap prescreen of ALL views, full-res
@@ -472,7 +472,8 @@ def prior_scores_two_stage(
     the end-to-end wall clock (78-80 s of 160 s).  TPU redesign:
 
       stage A  render every view at 1/``prescreen_scale`` window, DINO at
-               ``prescreen_edge`` (16² tokens vs 37² — ~6x fewer ViT FLOPs,
+               ``prescreen_edge`` (8² tokens at the default 112 vs 37² —
+               ~20x fewer ViT FLOPs,
                ~4x fewer raster pixels), full (F, N) cheap score matrix;
       stage B  full-res rescore of the union of per-frame top-``topk``
                prescreen candidates (a few hundred views, not 6,000);
