@@ -54,22 +54,29 @@ class DinoConfig:
     pos_grid: int = 37  # native pos-embed grid (518 / 14)
     smaller_edge_size: int = 518  # reference dino.py:5
     layer_norm_eps: float = 1e-6
-    # Attention implementation: "xla" (einsum softmax einsum, fused by XLA)
-    # or "flash" (Pallas TPU FlashAttention with `flash_block` tiles; the
-    # (N x N) probabilities never touch HBM).  Measured v5e, 8 x 1370
-    # tokens, bf16, remat="frozen", grad-to-input (tools/
-    # probe_vit_attention.py): xla 124.4 ms < flash blk=256 206.7 ms <
-    # flash blk=128 363.3 ms — at N~1370 the probs tensor is modest and
-    # XLA's fused softmax beats the kernel's tiling overhead, so "xla"
-    # stays the default.  Non-TPU backends always use "xla" (the Pallas
-    # kernel is TPU-only).
+    # Attention implementation: "xla" (einsum softmax einsum, fused by
+    # XLA), "flash" (legacy Pallas TPU FlashAttention) or "splash" (the
+    # newer block-sparse Pallas kernel) — both kernels stream (N x N)
+    # probability tiles through VMEM with `flash_block` tiles.  Measured
+    # v5e, 8 x 1370 tokens, bf16, remat="frozen", grad-to-input
+    # (tools/probe_vit_attention.py, r4 with bf16-only probs):
+    #   xla 112.2 ms | splash blk=768 fused-bwd 111.0 | splash blk=512
+    #   122.6 | flash blk=256 206.8 | flash blk=128 363.3 ms
+    # The BEST kernel config only ties the XLA path (within noise): with
+    # the hand-written bf16 softmax + frozen remat the XLA program is
+    # already compute-bound at this N, so "xla" stays the default (no
+    # Pallas dependency on the hot path, identical speed).  Non-TPU
+    # backends always use "xla" (the Pallas kernels are TPU-only).
     attn_impl: str = "xla"
     flash_block: int = 128
+    # splash only: one fused dq+dkv backward kernel instead of two passes.
+    splash_fused_bwd: bool = False
 
     def __post_init__(self):
-        if self.attn_impl not in ("xla", "flash"):
+        if self.attn_impl not in ("xla", "flash", "splash"):
             raise ValueError(
-                f"attn_impl must be 'xla' or 'flash', got {self.attn_impl!r}"
+                "attn_impl must be 'xla', 'flash' or 'splash', "
+                f"got {self.attn_impl!r}"
             )
 
     @property
@@ -229,9 +236,69 @@ def _flash_attention(q: Array, k: Array, v: Array, hd: int, block: int) -> Array
     return o[:, :, :n].transpose(0, 2, 1, 3)
 
 
+def _splash_attention(
+    q: Array, k: Array, v: Array, hd: int, block: int, fused_bwd: bool = False
+) -> Array:
+    """Pallas TPU SplashAttention, (B, N, H, hd) -> (B, N, H, hd).
+
+    Splash is the newer block-sparse TPU attention kernel (the one serving
+    production LLMs); unlike the legacy flash_attention it pipelines the
+    kv axis with compute sub-blocks and ships a fused dq/dkv backward.
+    The (N x N) probabilities never touch HBM — at the production shape
+    (8 x 1370 tokens x 12 heads) the XLA path materializes ~0.8 GB of
+    bf16 score/prob buffers per block forward and ~3x that in the
+    backward, which is the ViT's dominant HBM term.
+
+    Padding: token axis to a multiple of ``block``; padded KEYS are
+    masked off via a static NumpyMask (so numerics match _attention
+    exactly on the valid tokens), while padded QUERY rows attend the
+    valid keys (their outputs are sliced off; leaving them fully masked
+    would make their softmax NaN and poison the backward through the
+    pad-slice VJP).  The mask is static numpy — processed once at trace
+    time into block-sparse MaskInfo constants.
+    """
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as splash,
+    )
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as splash_mask,
+    )
+
+    b, n, h, _ = q.shape
+    n_pad = (-n) % block
+    m = n + n_pad
+    # Splash takes pre-scaled logits (no sm_scale arg): fold 1/sqrt(hd)
+    # into q.  hd = 64 -> 0.125, exact in bf16.
+    qt = (q * jnp.asarray(1.0 / np.sqrt(hd), q.dtype)).transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)  # (B, H, N, hd)
+    vt = v.transpose(0, 2, 1, 3)
+    if n_pad:
+        pad = ((0, 0), (0, 0), (0, n_pad), (0, 0))
+        qt, kt, vt = (jnp.pad(a, pad) for a in (qt, kt, vt))
+    arr = np.zeros((m, m), dtype=np.bool_)
+    arr[:, :n] = True
+    mask = splash_mask.MultiHeadMask([splash_mask.NumpyMask(arr)] * h)
+    blk = min(block, m)
+    sizes = splash.BlockSizes(
+        block_q=blk, block_kv=blk, block_kv_compute=blk,
+        block_q_dkv=blk, block_kv_dkv=blk, block_kv_dkv_compute=blk,
+        # The fused backward emits dq inside the dkv kernel (no separate dq
+        # pass); its dq block sizes must be unset.
+        block_q_dq=None if fused_bwd else blk,
+        block_kv_dq=None if fused_bwd else blk,
+        use_fused_bwd_kernel=fused_bwd,
+    )
+    kernel = splash.make_splash_mha(
+        mask, head_shards=1, q_seq_shards=1, block_sizes=sizes,
+    )
+    o = jax.vmap(kernel)(qt, kt, vt)  # (B, H, N, hd)
+    return o[:, :, :n].transpose(0, 2, 1, 3)
+
+
 def _block(
     x: Array, p: dict[str, Array], num_heads: int, eps: float,
     attn_impl: str = "xla", flash_block: int = 128,
+    splash_fused_bwd: bool = False,
 ) -> Array:
     from jax.ad_checkpoint import checkpoint_name
 
@@ -250,6 +317,10 @@ def _block(
     v = v.reshape(b, n, num_heads, hd)
     if attn_impl == "flash":
         o = _flash_attention(q, k, v, hd, flash_block).reshape(b, n, d)
+    elif attn_impl == "splash":
+        o = _splash_attention(
+            q, k, v, hd, flash_block, splash_fused_bwd
+        ).reshape(b, n, d)
     else:
         o = _attention(q, k, v, hd).reshape(b, n, d)
     o = o @ p["proj_kernel"] + p["proj_bias"]
@@ -299,7 +370,7 @@ def _trunk(
         return (
             _block(
                 x, blk_params, cfg.num_heads, cfg.layer_norm_eps,
-                attn_impl, cfg.flash_block,
+                attn_impl, cfg.flash_block, cfg.splash_fused_bwd,
             ),
             None,
         )

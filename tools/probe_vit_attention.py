@@ -79,7 +79,18 @@ def main() -> None:
         ("flash blk=128", dataclasses.replace(cfg0, attn_impl="flash", flash_block=128)),
         ("flash blk=256", dataclasses.replace(cfg0, attn_impl="flash", flash_block=256)),
         ("flash blk=704", dataclasses.replace(cfg0, attn_impl="flash", flash_block=704)),
+        ("splash blk=128", dataclasses.replace(cfg0, attn_impl="splash", flash_block=128)),
+        ("splash blk=256", dataclasses.replace(cfg0, attn_impl="splash", flash_block=256)),
+        ("splash blk=512", dataclasses.replace(cfg0, attn_impl="splash", flash_block=512)),
+        ("splash blk=768", dataclasses.replace(cfg0, attn_impl="splash", flash_block=768)),
+        ("splash blk=512 fused-bwd", dataclasses.replace(
+            cfg0, attn_impl="splash", flash_block=512, splash_fused_bwd=True)),
+        ("splash blk=768 fused-bwd", dataclasses.replace(
+            cfg0, attn_impl="splash", flash_block=768, splash_fused_bwd=True)),
     ]
+    if os.environ.get("DYNHOR_PROBE_ONLY"):
+        keep = os.environ["DYNHOR_PROBE_ONLY"].split(";")
+        variants = [v for v in variants if v[0] == "xla" or v[0] in keep]
     g_ref = None
     for name, cfg in variants:
         try:
