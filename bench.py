@@ -26,7 +26,8 @@ REFERENCE_FRAMES_PER_SEC = 0.10  # documented estimate, see BASELINE.md
 # batch (12-frame demo, 16-frame micro-batches in run_multi), so the bench
 # batch models that; overridable for batch-scaling probes.
 FRAMES = int(os.environ.get("DYNHOR_BENCH_FRAMES", "8"))
-ITERS = 10  # timed steps; frames/sec extrapolated to the 100-step refine
+ITERS = 10  # timed steps per window; frames/sec extrapolated to the 100-step refine
+WINDOWS = int(os.environ.get("DYNHOR_BENCH_WINDOWS", "5"))  # median-of-N timing
 CROP = 256
 REFINE_STEPS_FULL = 100
 
@@ -114,16 +115,35 @@ def main() -> None:
     jax.block_until_ready(res.rot6d)
     compile_and_first = time.time() - t0
 
-    t0 = time.time()
-    res = RF.refine_poses(mesh, targets, rot, trans * 1.0001, dparams, dcfg, cfg)
-    jax.block_until_ready(res.rot6d)
-    steady = time.time() - t0
+    # Median-of-N windows: a single 10-iter window is at the mercy of the
+    # remote-TPU tunnel's queueing (BASELINE.md documents 6-15 min wall
+    # variance around 160 s of device work); one slow window must not
+    # define the round's official number.
+    windows = []
+    for w in range(WINDOWS):
+        t0 = time.time()
+        res = RF.refine_poses(
+            mesh, targets, rot, trans * (1.0 + 1e-4 * (w + 1)), dparams, dcfg, cfg
+        )
+        jax.block_until_ready(res.rot6d)
+        windows.append(time.time() - t0)
+        print(
+            f"[bench] window {w + 1}/{WINDOWS}: {windows[-1]:.2f}s "
+            f"({FRAMES * ITERS / windows[-1]:.2f} frame-iters/sec)",
+            file=sys.stderr,
+        )
+
+    windows.sort()
+    steady = windows[len(windows) // 2]  # median
+    spread = (windows[-1] - windows[0]) / steady if steady else 0.0
 
     frames_per_sec = FRAMES / (steady * (REFINE_STEPS_FULL / ITERS))
     print(
         f"[bench] compile+first: {compile_and_first:.1f}s, "
-        f"steady {ITERS} iters x {FRAMES} frames: {steady:.2f}s "
-        f"({FRAMES * ITERS / steady:.2f} frame-iters/sec)",
+        f"median of {WINDOWS} windows ({ITERS} iters x {FRAMES} frames): "
+        f"{steady:.2f}s ({FRAMES * ITERS / steady:.2f} frame-iters/sec), "
+        f"min {windows[0]:.2f}s / max {windows[-1]:.2f}s "
+        f"(spread {spread * 100:.0f}%)",
         file=sys.stderr,
     )
     print(
@@ -133,6 +153,9 @@ def main() -> None:
                 "value": round(frames_per_sec, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC, 2),
+                "windows": WINDOWS,
+                "window_seconds": [round(t, 3) for t in windows],
+                "spread_frac": round(spread, 3),
             }
         )
     )

@@ -60,6 +60,21 @@ DEFAULTS: dict[str, Any] = {
             "model": "dinov2_vitb14",
             "smaller_edge_size": 518,  # dino.py:5
         },
+        # Multi-hypothesis initialization: the reference plumbs
+        # num_initializations everywhere but effectively always runs 1
+        # (pose_initializtion.py:258,390, SURVEY.md quirks).  K > 1 refines
+        # K inits per frame — the gate pick, its 180-degree silhouette
+        # flips, and silhouette-IoU-retrieved diverse views — and selects
+        # the per-frame winner by total loss after a short tournament
+        # (tracker/selection.build_hypotheses, refine.refine_poses_multihyp).
+        # Cost: ~(K x tournament_iters + init_num_iterations) frame-iters.
+        "num_initializations": 1,
+        "hypotheses": {
+            "flips": True,  # include 180-deg camera-X/Y flips of the gate pick
+            "sil_retrieval": True,  # silhouette-IoU channel fills spare slots
+            "min_angle_deg": 30.0,  # diversity radius among hypotheses
+            "tournament_iters": 25,  # steps before winner selection (None=full)
+        },
         "crop_size": 256,  # constants.py:2
         "bbox_expansion": 0.3,  # constants.py:3
         "focal_factor": 1.2,  # run.py:121

@@ -69,6 +69,10 @@ class DinoConfig:
     # backends always use "xla" (the Pallas kernels are TPU-only).
     attn_impl: str = "xla"
     flash_block: int = 128
+    # splash has its own block default: per the probe, blk=128 is splash's
+    # WORST config (372 ms vs 111 ms at blk=768), so it must not inherit
+    # flash's default.
+    splash_block: int = 768
     # splash only: one fused dq+dkv backward kernel instead of two passes.
     splash_fused_bwd: bool = False
 
@@ -298,7 +302,7 @@ def _splash_attention(
 def _block(
     x: Array, p: dict[str, Array], num_heads: int, eps: float,
     attn_impl: str = "xla", flash_block: int = 128,
-    splash_fused_bwd: bool = False,
+    splash_block: int = 768, splash_fused_bwd: bool = False,
 ) -> Array:
     from jax.ad_checkpoint import checkpoint_name
 
@@ -319,7 +323,7 @@ def _block(
         o = _flash_attention(q, k, v, hd, flash_block).reshape(b, n, d)
     elif attn_impl == "splash":
         o = _splash_attention(
-            q, k, v, hd, flash_block, splash_fused_bwd
+            q, k, v, hd, splash_block, splash_fused_bwd
         ).reshape(b, n, d)
     else:
         o = _attention(q, k, v, hd).reshape(b, n, d)
@@ -370,7 +374,8 @@ def _trunk(
         return (
             _block(
                 x, blk_params, cfg.num_heads, cfg.layer_norm_eps,
-                attn_impl, cfg.flash_block, cfg.splash_fused_bwd,
+                attn_impl, cfg.flash_block, cfg.splash_block,
+                cfg.splash_fused_bwd,
             ),
             None,
         )

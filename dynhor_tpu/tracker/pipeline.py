@@ -244,10 +244,18 @@ def track_sequence(
         view_mesh = make_mesh(n_dev, "views")
     else:
         view_mesh = None
+    # Multi-hypothesis init (num_initializations, reference
+    # pose_initializtion.py:258,390 — plumbed there, never enabled): when
+    # K > 1 the scoring pass also returns the silhouette-IoU retrieval
+    # channel that seeds the extra hypotheses (selection.build_hypotheses).
+    num_init = int(sysc.get("num_initializations", 1))
+    hypc = sysc.get("hypotheses") or {}
+    with_sil = num_init > 1 and bool(hypc.get("sil_retrieval", True))
+    sil_scores = None
     with prof.phase("prior-scoring"):
         ps = pc.get("prescreen") or {}
         if bool(ps.get("enabled", True)):
-            scores = P.prior_scores_two_stage(
+            out = P.prior_scores_two_stage(
                 dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
                 mesh_arrays.face_uvs, mesh_arrays.texture, view_rots,
                 jnp.asarray(ann.crop_images), jnp.asarray(ann.target_masks),
@@ -257,15 +265,27 @@ def track_sequence(
                 prescreen_scale=int(ps.get("scale", 2)),
                 topk=int(ps.get("topk", 24)),
                 view_mesh=view_mesh,
+                with_sil=with_sil,
             )
         else:
-            scores = P.prior_scores_batched(
+            sil_masks = None
+            if with_sil:
+                from .priors import SIL_RES
+                from ..ops.resize import resize_nearest
+
+                sil_masks = resize_nearest(
+                    (jnp.asarray(ann.target_masks) > 0).astype(jnp.float32),
+                    SIL_RES, SIL_RES,
+                ).reshape(f_frames, -1)
+            out = P.prior_scores_batched(
                 dino_params, dino_cfg, mesh_arrays.verts, mesh_arrays.faces,
                 mesh_arrays.face_uvs, mesh_arrays.texture, view_rots, gt_feats,
                 cos_masks, prior_cfg, window,
                 host_batch=int(pc.get("host_batch", 1000)),
                 view_mesh=view_mesh,
+                with_sil=with_sil, sil_masks=sil_masks,
             )
+        scores, sil_scores = out if with_sil else (out, None)
         jax.block_until_ready(scores)
 
     # ---- K_rois + refine config ----
@@ -353,24 +373,67 @@ def track_sequence(
                     f" (mean residual {float(ang.min(1).mean()):.1f} deg)",
                     flush=True,
                 )
-            trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
-            jax.block_until_ready(trans_init)
-            cap, act_cap = _counted_refine_cap(rot_init, trans_init, K_rois)
+            if num_init > 1 and not (oracle.get("enabled")):
+                hyp = S.build_hypotheses(
+                    rot_init, gate.selected_idx, priors_row, num_init,
+                    sil_scores=sil_scores,
+                    include_flips=bool(hypc.get("flips", True)),
+                    min_angle_deg=float(hypc.get("min_angle_deg", 30.0)),
+                )
+                flat_rot = hyp.rotations.reshape(-1, 3, 3)  # (F*K, 3, 3)
+                flat_bbox = np.repeat(ann.bbox_xywh, num_init, axis=0)
+                flat_trans = autodepth(flat_rot, flat_bbox)  # (F*K, 3)
+                trans_hyp = flat_trans.reshape(f_frames, num_init, 3)
+                jax.block_until_ready(trans_hyp)
+                K_flat = jnp.repeat(K_rois, num_init, axis=0)
+                cap, act_cap = _counted_refine_cap(flat_rot, flat_trans, K_flat)
+                rot_init, trans_init = hyp.rotations[:, 0], trans_hyp[:, 0]
+            else:
+                hyp = None
+                trans_init = autodepth(rot_init, ann.bbox_xywh)  # (F, 3)
+                jax.block_until_ready(trans_init)
+                cap, act_cap = _counted_refine_cap(rot_init, trans_init, K_rois)
             refine_cfg = dataclasses.replace(
                 refine_cfg, max_faces_per_tile=cap, max_active_tiles=act_cap
             )
             joint_cap, joint_act = cap, act_cap
         with prof.phase("refine"):
-            res = RF.refine_poses(
-                mesh_arrays, targets, rot_init, trans_init, dino_params, dino_cfg,
-                refine_cfg,
-            )
+            if hyp is not None:
+                mres = RF.refine_poses_multihyp(
+                    mesh_arrays, targets, hyp.rotations, trans_hyp,
+                    dino_params, dino_cfg, refine_cfg,
+                    tournament_iters=hypc.get("tournament_iters", 25),
+                )
+                res = mres.result
+                win = np.asarray(mres.winner)
+                hyp_src = np.asarray(hyp.indices)
+                n_non_gate = int((win != 0).sum())
+                print(
+                    f"[hypotheses] {num_init} inits/frame; winner slots "
+                    f"{win.tolist()} (0=gate, src idx "
+                    f"{hyp_src[np.arange(len(win)), win].tolist()}); "
+                    f"{n_non_gate}/{len(win)} frames changed init",
+                    flush=True,
+                )
+                sel_idx = hyp_src[np.arange(len(win)), win]
+            else:
+                res = RF.refine_poses(
+                    mesh_arrays, targets, rot_init, trans_init, dino_params,
+                    dino_cfg, refine_cfg,
+                )
+                sel_idx = np.asarray(gate.selected_idx)
             jax.block_until_ready(res.rot6d)
         rot6d, trans = res.rot6d, res.translations
-        sel_idx = np.asarray(gate.selected_idx)
         losses, ious = np.asarray(res.final_loss), np.asarray(res.final_iou)
     else:
         # Sequential parity mode: thread the REFINED rotation into the gate.
+        if num_init > 1:
+            print(
+                "note: num_initializations > 1 is a parallel-pipeline feature;"
+                " sequential parity mode refines the single gate pick"
+                " (reference control flow)",
+                flush=True,
+            )
         state = S.initial_state()
         rot6d_list, trans_list, sel_list, loss_list, iou_list = [], [], [], [], []
         # ONE cap for all frames (max over the top-1 gate candidates):

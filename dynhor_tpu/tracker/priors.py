@@ -70,6 +70,15 @@ class PriorConfig:
     dino_dtype: str = "bfloat16"
 
 
+# Resolution of the silhouette-IoU retrieval channel (side of the square
+# grid both the prior-view crop mask and the frame crop mask are nearest-
+# downsampled to before the IoU).  Both crops are square boxes around the
+# object's own tight bbox with the same expansion factor, so the IoU is a
+# scale-normalized shape similarity; 32^2 cells resolve ~10-degree view
+# changes on the demo meshes while costing one (F, P) x (C, P) matmul.
+SIL_RES = 32
+
+
 def mesh_radius_center(verts: Array) -> tuple[Array, Array]:
     """radius = max |coordinate| of the bbox; center = bbox center.
 
@@ -216,7 +225,7 @@ def _dino_feats_of_crops(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "dino_cfg", "window", "view_mesh"),
+    static_argnames=("cfg", "dino_cfg", "window", "view_mesh", "with_sil"),
 )
 def prior_scores_and_rotations(
     dino_params: dict[str, Any],
@@ -231,6 +240,8 @@ def prior_scores_and_rotations(
     cfg: PriorConfig,
     window: int,
     view_mesh=None,
+    with_sil: bool = False,
+    sil_masks: Array | None = None,
 ) -> Array:
     """Fused prior pipeline: returns the (F, N) masked-cosine score matrix.
 
@@ -244,7 +255,17 @@ def prior_scores_and_rotations(
         per-chunk view axis is shard-constrained over it, so each device
         renders/DINO-encodes its own view slice and only the (F, N) score
         matrix is gathered (SURVEY.md §2.3 "views" parallel axis).
+      with_sil: also return an (F, N) silhouette-IoU score matrix (crop
+        masks nearest-downsampled to SIL_RES^2, IoU vs ``sil_masks``) —
+        the shape-retrieval channel for multi-hypothesis initialization
+        (tracker/selection.build_hypotheses).  Near-free: the crop masks
+        already exist for the white-background composite.
+      sil_masks: (F, SIL_RES^2) {0,1} frame masks (required iff with_sil).
+
+    Returns (scores, overflow) or (scores, sil_scores, overflow).
     """
+    if with_sil and sil_masks is None:
+        raise ValueError("with_sil=True requires sil_masks")
     if cfg.dino_dtype == "bfloat16":
         # Cast once here (outside the view-chunk map; the in-function cast
         # below is then a no-op).
@@ -283,20 +304,36 @@ def prior_scores_and_rotations(
                 verts, faces, face_uvs, texture, Rc, tc, K_win, window,
                 cfg.face_chunk, cfg.max_faces_per_tile,
             )
-            crop_img, _, _ = _crop_view(rgba, cfg.crop_size, cfg.bbox_expansion)
-            return crop_img, ov
+            crop_img, crop_mask, _ = _crop_view(
+                rgba, cfg.crop_size, cfg.bbox_expansion
+            )
+            m_sil = resize_nearest(
+                crop_mask.astype(jnp.float32), SIL_RES, SIL_RES
+            ).reshape(-1)
+            return crop_img, m_sil, ov
 
-        crops, ovs = jax.vmap(one)(R_chunk, t)  # (C, 3, S, S), (C,)
+        crops, m_sils, ovs = jax.vmap(one)(R_chunk, t)  # (C,3,S,S),(C,P'),(C,)
         feats = _dino_feats_of_crops(
             dino_params, dino_cfg, crops, cfg.dino_dtype
         )  # (C, P, D)
         sim = jnp.einsum("fpd,cpd->fcp", gt_feats, feats)  # cosine per token
         masked = jnp.einsum("fcp,fp->fc", sim, cos_masks)
-        return masked / cos_sum[:, None], ovs.max()  # (F, C), ()
+        sem = masked / cos_sum[:, None]  # (F, C)
+        if with_sil:
+            inter = jnp.einsum("fp,cp->fc", sil_masks, m_sils)
+            union = (
+                sil_masks.sum(1)[:, None] + m_sils.sum(1)[None, :] - inter
+            )
+            sil = inter / jnp.maximum(union, 1.0)
+            return (sem, sil), ovs.max()
+        return (sem,), ovs.max()
 
-    scores, ovs = jax.lax.map(score_chunk, Rs)  # (n_chunks, F, C), (n_chunks,)
-    scores = jnp.moveaxis(scores, 0, 1).reshape(gt_feats.shape[0], -1)[:, :n]
-    return scores, ovs.max()
+    out, ovs = jax.lax.map(score_chunk, Rs)  # each (n_chunks, F, C)
+    f_frames = gt_feats.shape[0]
+    mats = tuple(
+        jnp.moveaxis(m, 0, 1).reshape(f_frames, -1)[:, :n] for m in out
+    )
+    return (*mats, ovs.max())
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tile", "margin", "chunk"))
@@ -372,6 +409,8 @@ def prior_scores_batched(
     window: int,
     host_batch: int = 1000,
     view_mesh=None,
+    with_sil: bool = False,
+    sil_masks: Array | None = None,
 ):
     """prior_scores_and_rotations in host-side slices of ``host_batch`` views.
 
@@ -380,6 +419,8 @@ def prior_scores_batched(
     'UNAVAILABLE: TPU device error' mid-scoring).  Slicing at the host
     keeps each launch ~20 s; the jit is shape-stable so only the first
     slice compiles.
+
+    Returns (F, N) scores, or (scores, sil_scores) when with_sil.
     """
     import numpy as np
 
@@ -396,12 +437,12 @@ def prior_scores_batched(
     from ..utils.retry import retry_on_device_error
 
     def one_slice(i, cfg_l):
-        s, ov = prior_scores_and_rotations(
+        *mats, ov = prior_scores_and_rotations(
             dino_params, dino_cfg, verts, faces, face_uvs, texture,
             view_rotations[i : i + host_batch], gt_feats, cos_masks, cfg_l, window,
-            view_mesh=view_mesh,
+            view_mesh=view_mesh, with_sil=with_sil, sil_masks=sil_masks,
         )
-        return jax.block_until_ready((s, ov))
+        return jax.block_until_ready((tuple(mats), ov))
 
     # Degenerate (edge-on) views can pack more faces into one tile than any
     # fixed cap; count candidates per tile across ALL views first (cheap, no
@@ -420,8 +461,8 @@ def prior_scores_batched(
         outs = []
         max_ov = 0
         for i in range(0, n + pad, host_batch):
-            s, ov = retry_on_device_error(one_slice, i, cfg_l, tag="prior-scoring")
-            outs.append(s)
+            mats, ov = retry_on_device_error(one_slice, i, cfg_l, tag="prior-scoring")
+            outs.append(mats)
             max_ov = max(max_ov, int(ov))
         if max_ov == 0 or cfg_l.max_faces_per_tile >= f_total:
             break
@@ -438,7 +479,11 @@ def prior_scores_batched(
             f" full-mesh cap ({max_ov} dropped) — scores may be corrupted",
             flush=True,
         )
-    return jnp.concatenate(outs, axis=1)[:, :n]
+    cat = tuple(
+        jnp.concatenate([o[j] for o in outs], axis=1)[:, :n]
+        for j in range(len(outs[0]))
+    )
+    return cat if with_sil else cat[0]
 
 
 def prior_scores_two_stage(
@@ -460,6 +505,7 @@ def prior_scores_two_stage(
     prescreen_scale: int = 2,
     topk: int = 24,
     view_mesh=None,
+    with_sil: bool = False,
 ):
     """Two-stage prior retrieval: cheap prescreen of ALL views, full-res
     rescoring of the per-frame top-K union.
@@ -493,20 +539,28 @@ def prior_scores_two_stage(
         prescreen-resolution frame features).
       target_masks: (F, S, S) tri-valued masks.
       gt_feats/cos_masks: FULL-resolution frame features (stage B).
+      with_sil: also return the (F, N) silhouette-IoU matrix (from the
+        prescreen pass — the SIL_RES grid is render-resolution-independent,
+        so prescreen sil scores serve hypothesis retrieval directly).
 
-    Returns (F, N) scores on the full-res scale.
+    Returns (F, N) scores on the full-res scale (+ sil scores if with_sil).
     """
     import numpy as np
 
     n = int(view_rotations.shape[0])
     f_frames = int(gt_feats.shape[0])
+    sil_masks = None
+    if with_sil:
+        sil_masks = resize_nearest(
+            (target_masks > 0).astype(jnp.float32), SIL_RES, SIL_RES
+        ).reshape(f_frames, -1)
     # Prescreen only pays off when it prunes: below ~2 candidate sets'
     # worth of views, score everything at full res directly.
     if n <= 2 * topk * max(f_frames, 1) or n <= 4 * topk:
         return prior_scores_batched(
             dino_params, dino_cfg, verts, faces, face_uvs, texture,
             view_rotations, gt_feats, cos_masks, cfg, window, host_batch,
-            view_mesh,
+            view_mesh, with_sil=with_sil, sil_masks=sil_masks,
         )
 
     # ---- stage A: low-res prescreen of all N views ----
@@ -532,11 +586,12 @@ def prior_scores_two_stage(
     gt_feats_lo, cos_masks_lo = frame_gt_features(
         dino_params, dino_cfg_lo, crop_images, target_masks, cfg.dino_dtype
     )
-    scores_lo = prior_scores_batched(
+    out_lo = prior_scores_batched(
         dino_params, dino_cfg_lo, verts, faces, face_uvs, texture,
         view_rotations, gt_feats_lo, cos_masks_lo, cfg_lo, window_lo,
-        host_batch, view_mesh,
+        host_batch, view_mesh, with_sil=with_sil, sil_masks=sil_masks,
     )
+    scores_lo, sil_scores = out_lo if with_sil else (out_lo, None)
     scores_lo_np = np.asarray(scores_lo)
 
     # ---- stage B: full-res rescore of the per-frame top-K union ----
@@ -570,6 +625,8 @@ def prior_scores_two_stage(
     # re-acceptance bound (selection.py) stay on the full-res scale.
     scores = np.minimum(scores, sub_np.min(axis=1, keepdims=True) - 1e-4)
     scores[np.arange(f_frames)[:, None], idx[None, :]] = sub_np
+    if with_sil:
+        return jnp.asarray(scores), sil_scores
     return jnp.asarray(scores)
 
 

@@ -245,6 +245,8 @@ def refine_poses(
     dino_cfg: dino_mod.DinoConfig | None,
     cfg: RefineConfig = RefineConfig(),
     iters_per_launch: int = 25,
+    carry_state=None,
+    return_state: bool = False,
 ) -> RefineResult:
     """Refine all frames' poses jointly-batched (independently-parameterized).
 
@@ -256,13 +258,18 @@ def refine_poses(
     Args:
       rot_init_row: (B, 3, 3) row-convention rotation inits (from gating).
       trans_init: (B, 3) or (B, 1, 3) translation inits (autodepth).
+      carry_state: optional (params, opt_state) to resume from (the init
+        args are then ignored; used by refine_poses_multihyp to continue
+        the per-frame tournament winners).
+      return_state: also return the final (params, opt_state).
 
-    Returns: RefineResult (row-convention 6D rotations).
+    Returns: RefineResult (row-convention 6D rotations)
+    [, (params, opt_state) if return_state].
     """
     total = cfg.num_iterations
     chunk = max(min(iters_per_launch, total), 1)
     n_launches = -(-total // chunk) if total else 0
-    state = None
+    state = carry_state
     result = None
     done = 0
     from ..utils.retry import retry_on_device_error
@@ -294,7 +301,96 @@ def refine_poses(
             " system.max_faces_per_tile override (disables compaction)",
             flush=True,
         )
+    if return_state:
+        return result, state
     return result
+
+
+class MultiHypResult(NamedTuple):
+    result: RefineResult  # per-frame WINNER poses/losses (B, ...)
+    winner: Array  # (B,) int32 winning hypothesis slot per frame
+    tournament_loss: Array  # (B, K) per-hypothesis loss at selection time
+
+
+def refine_poses_multihyp(
+    mesh: MeshArrays,
+    targets: FrameTargets,
+    rot_inits_row: Array,
+    trans_inits: Array,
+    dino_params: dict[str, Any] | None,
+    dino_cfg: dino_mod.DinoConfig | None,
+    cfg: RefineConfig = RefineConfig(),
+    tournament_iters: int | None = None,
+    iters_per_launch: int = 25,
+) -> MultiHypResult:
+    """Multi-hypothesis refinement: K inits per frame, winner by final loss.
+
+    The reference plumbs ``num_initializations`` but never enables it
+    (pose_initializtion.py:258,390); this is that affordance, TPU-native:
+    each hypothesis slot runs the SAME compiled vmapped-refine program
+    (K host-side launches of (B,) frames — no recompiles, same peak HBM as
+    single-hypothesis), a per-frame winner is selected by current total
+    loss after ``tournament_iters`` steps, and only the winner continues
+    for the remaining iterations (Adam state gathered per frame, exact).
+
+    Cost: K x tournament_iters + (num_iterations - tournament_iters)
+    frame-iterations vs num_iterations for single-hypothesis.
+
+    Args:
+      rot_inits_row: (B, K, 3, 3) hypothesis rotations
+        (selection.build_hypotheses).
+      trans_inits: (B, K, 3) autodepth translations per hypothesis.
+      tournament_iters: steps before winner selection (None/0 or
+        >= num_iterations = refine every hypothesis to the full count and
+        select at the end — highest quality, full K x cost).
+    """
+    b, k = rot_inits_row.shape[:2]
+    if k == 1:
+        res = refine_poses(
+            mesh, targets, rot_inits_row[:, 0], trans_inits[:, 0],
+            dino_params, dino_cfg, cfg, iters_per_launch,
+        )
+        return MultiHypResult(res, jnp.zeros((b,), jnp.int32),
+                              res.final_loss[:, None])
+
+    total = cfg.num_iterations
+    t_iters = tournament_iters if tournament_iters else total
+    t_iters = min(max(int(t_iters), 1), total)
+    cfg_t = dataclasses.replace(cfg, num_iterations=t_iters)
+
+    results, states = [], []
+    for j in range(k):
+        r, st = refine_poses(
+            mesh, targets, rot_inits_row[:, j], trans_inits[:, j],
+            dino_params, dino_cfg, cfg_t, iters_per_launch,
+            return_state=True,
+        )
+        results.append(r)
+        states.append(st)
+
+    losses = jnp.stack([r.final_loss for r in results], axis=1)  # (B, K)
+    win = jnp.argmin(losses, axis=1).astype(jnp.int32)  # (B,)
+
+    def pick(*xs):
+        x0 = xs[0]
+        if getattr(x0, "ndim", 0) == 0 or x0.shape[0] != b:
+            return x0  # scalar leaves (Adam step count) are hypothesis-equal
+        st = jnp.stack(xs, axis=1)  # (B, K, ...)
+        idx = win.reshape((b,) + (1,) * (st.ndim - 1)).astype(jnp.int32)
+        return jnp.take_along_axis(st, idx, axis=1)[:, 0]
+
+    rem = total - t_iters
+    if rem > 0:
+        state_w = jax.tree.map(pick, states[0], *states[1:])
+        cfg_r = dataclasses.replace(cfg, num_iterations=rem)
+        res = refine_poses(
+            mesh, targets, rot_inits_row[:, 0], trans_inits[:, 0],
+            dino_params, dino_cfg, cfg_r, iters_per_launch,
+            carry_state=state_w,
+        )
+    else:
+        res = RefineResult(*jax.tree.map(pick, *[tuple(r) for r in results]))
+    return MultiHypResult(res, win, losses)
 
 
 @functools.partial(jax.jit, static_argnames=("dino_cfg", "cfg"))

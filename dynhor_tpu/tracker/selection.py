@@ -35,6 +35,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.geometry import rotation_angle_difference
 
@@ -130,3 +131,117 @@ def gate_all_frames(scores: Array, priors_row: Array) -> GateResult:
 
     _, out = jax.lax.scan(step, initial_state(), scores)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-hypothesis initialization (num_initializations > 1)
+# ---------------------------------------------------------------------------
+
+class Hypotheses(NamedTuple):
+    rotations: Array  # (F, K, 3, 3) row-convention rotation inits
+    # (F, K) provenance: prior-view index; -1 = 180-degree flip of the gate
+    # pick; -2 = gate fallback (previous rotation, no prior selected).
+    indices: Array
+
+
+# 180-degree camera-frame rotations about X / Y: in the row convention
+# (verts @ R), a camera-frame rotation M composes as R @ M (both matrices
+# are symmetric diag(+-1), so row/column transposes coincide).  These are
+# the classic silhouette-preserving pose ambiguities for flat-ish objects
+# — exactly the near-180-degree flip the shoes2 gate lands on
+# (BASELINE.md oracle-init ablation).
+_FLIP_X = np.diag(np.array([1.0, -1.0, -1.0], np.float32))
+_FLIP_Y = np.diag(np.array([-1.0, 1.0, -1.0], np.float32))
+
+
+def _pairwise_angle_deg(R: np.ndarray, chosen: np.ndarray) -> np.ndarray:
+    """(N,) min geodesic angle (deg) of each rotation in R vs any chosen."""
+    # trace(R_i @ C_j^T) over all pairs -> (N, M)
+    tr = np.einsum("nab,mab->nm", R, chosen)
+    cos = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    return np.degrees(np.arccos(cos)).min(axis=1)
+
+
+def build_hypotheses(
+    rotation_init: Array,
+    selected_idx: Array,
+    priors_row: Array,
+    k: int,
+    sil_scores: Array | None = None,
+    include_flips: bool = True,
+    min_angle_deg: float = 30.0,
+) -> Hypotheses:
+    """Per-frame rotation-hypothesis set for multi-init refinement.
+
+    The reference plumbs ``num_initializations`` everywhere but never
+    enables it (pose_initializtion.py:258,390 — effectively always 1,
+    SURVEY.md quirks).  This builds the hypothesis set the affordance
+    implies, TPU-first: all K hypotheses refine as one extra vmap axis and
+    the winner is selected by final loss (tracker/refine.
+    refine_poses_multihyp).
+
+    Slot priority per frame:
+      0        the gated pick (exact reference behavior);
+      1, 2     its 180-degree camera-frame flips about X then Y (the
+               silhouette-preserving ambiguity family) when include_flips;
+      rest     greedy silhouette-IoU retrieval (priors.with_sil channel),
+               skipping views within ``min_angle_deg`` of any already-
+               chosen hypothesis (diversity), relaxed to plain best-
+               remaining if the diverse pool runs dry; without sil scores,
+               farthest-point sampling over the prior views.
+
+    Host-side numpy: runs once per sequence over (F<=~40, N<=6000, K<=8).
+
+    Args:
+      rotation_init: (F, 3, 3) gate picks (gate_all_frames).
+      selected_idx: (F,) gate indices (-1 = fallback).
+      priors_row: (N, 3, 3) row-convention prior rotations.
+      sil_scores: optional (F, N) silhouette-IoU score matrix.
+    """
+    R0 = np.asarray(rotation_init, np.float32)  # (F, 3, 3)
+    sel = np.asarray(selected_idx, np.int32)
+    priors = np.asarray(priors_row, np.float32)
+    sil = None if sil_scores is None else np.asarray(sil_scores)
+    f_frames = R0.shape[0]
+    n = priors.shape[0]
+    k = max(1, min(k, n + 3))
+
+    rots = np.zeros((f_frames, k, 3, 3), np.float32)
+    idxs = np.full((f_frames, k), -1, np.int32)
+    for f in range(f_frames):
+        chosen = [R0[f]]
+        ids = [int(sel[f]) if sel[f] >= 0 else -2]
+        if include_flips and len(chosen) < k:
+            chosen.append(R0[f] @ _FLIP_X)
+            ids.append(-1)
+        if include_flips and len(chosen) < k:
+            chosen.append(R0[f] @ _FLIP_Y)
+            ids.append(-1)
+        if len(chosen) < k:
+            stack = np.stack(chosen)
+            if sil is not None:
+                order = np.argsort(-sil[f])
+                # diverse pass, then relaxed fill
+                for relax in (False, True):
+                    for v in order:
+                        if len(chosen) >= k:
+                            break
+                        if v in ids:
+                            continue
+                        ang = _pairwise_angle_deg(priors[v : v + 1], stack)[0]
+                        if relax or ang >= min_angle_deg:
+                            chosen.append(priors[v])
+                            ids.append(int(v))
+                            stack = np.stack(chosen)
+                    if len(chosen) >= k:
+                        break
+            else:
+                while len(chosen) < k:
+                    ang = _pairwise_angle_deg(priors, stack)
+                    v = int(np.argmax(ang))
+                    chosen.append(priors[v])
+                    ids.append(v)
+                    stack = np.stack(chosen)
+        rots[f] = np.stack(chosen[:k])
+        idxs[f] = np.asarray(ids[:k], np.int32)
+    return Hypotheses(jnp.asarray(rots), jnp.asarray(idxs))

@@ -278,6 +278,50 @@ def test_attn_impl_flash_falls_back_on_cpu():
     assert out.shape == (1, 16, cfg.embed_dim)
 
 
+def test_attn_impl_splash_falls_back_on_cpu():
+    """attn_impl='splash' must still run (as xla) on non-TPU backends."""
+    cfg = dataclasses.replace(
+        D.DinoConfig(depth=2, pos_grid=4, smaller_edge_size=56),
+        attn_impl="splash",
+    )
+    params = D.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 56, 56), jnp.float32)
+    out = D.forward_tokens(params, x, cfg, remat=False)
+    assert out.shape == (1, 16, cfg.embed_dim)
+
+
+def test_splash_wrapper_padding_and_mask(monkeypatch):
+    """_splash_attention's pad + key-mask + scale-folding plumbing is exact.
+
+    Runs the real splash kernel in Pallas interpret mode (CPU), isolating
+    OUR wrapper logic: folding 1/sqrt(hd) into q, padding odd token counts
+    up to the block multiple, masking padded KEYS while letting padded
+    query rows attend (their outputs sliced off), and the transposes.
+    """
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as splash,
+    )
+
+    real = splash.make_splash_mha
+
+    def interp_mha(mask, **kw):
+        kw["interpret"] = True
+        return real(mask, **kw)
+
+    monkeypatch.setattr(splash, "make_splash_mha", interp_mha)
+    # Kernel constraint: block_kv_compute must be a multiple of 128, so the
+    # smallest legal block is 128; n=45 still exercises the padding path.
+    b, n, h, hd = 1, 45, 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b, n, h, hd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, n, h, hd), jnp.float32)
+    v = jax.random.normal(ks[2], (b, n, h, hd), jnp.float32)
+    ref = D._attention(q, k, v, hd)
+    out = D._splash_attention(q, k, v, hd, block=128)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_fused_patch_tokens_matches_resize_then_embed():
     """fused_patch_tokens == patchify(normalize(bicubic_resize(x))) @ kernel.
 

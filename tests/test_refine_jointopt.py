@@ -194,3 +194,76 @@ def test_jointopt_scale_frozen_by_default():
         cfg,
     )
     np.testing.assert_allclose(float(res.scale), 1.0)
+
+
+def test_refine_multihyp_selects_recovering_init():
+    """Two hypotheses per frame — one ~90 degrees off (unrecoverable in the
+    iteration budget), one ~10 degrees off — the tournament must pick the
+    near one per frame and the winner must recover the pose, including
+    through the post-tournament continuation launches."""
+    mesh = _mesh()
+    R_true = np.asarray(G.random_rotations(jax.random.PRNGKey(0), 1))[0]
+    t_true = np.array([0.05, -0.03, 2.0], np.float32)
+    target = _render_target(mesh, jnp.asarray(R_true), jnp.asarray(t_true))
+
+    dR = np.asarray(
+        G.rot6d_to_matrix(
+            G.matrix_to_rot6d(jnp.eye(3)[None])
+            + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (1, 3, 2))
+        )
+    )[0]
+    R_near = R_true @ dR
+    c, s = np.cos(np.radians(95.0)), np.sin(np.radians(95.0))
+    R_far = R_true @ np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    # Hypothesis slot 0 = the BAD init (the gate pick being wrong is the
+    # scenario multi-init exists for).
+    rot_inits = jnp.asarray(np.stack([R_far, R_near])[None])  # (1, 2, 3, 3)
+    t0 = t_true + np.array([0.08, -0.06, 0.15], np.float32)
+    trans_inits = jnp.asarray(np.stack([t0, t0])[None])  # (1, 2, 3)
+
+    cfg = RF.RefineConfig(
+        num_iterations=150, lr=0.01, crop_size=SIZE, mode="coarse", face_chunk=12
+    )
+    targets = RF.FrameTargets(
+        target_masks=target[None],
+        gt_feats=jnp.zeros((1, 4, 8)),
+        K_rois=_K()[None],
+    )
+    mres = RF.refine_poses_multihyp(
+        mesh, targets, rot_inits, trans_inits, None, None, cfg,
+        tournament_iters=50,
+    )
+    assert int(mres.winner[0]) == 1
+    assert mres.tournament_loss.shape == (1, 2)
+    assert float(mres.tournament_loss[0, 1]) < float(mres.tournament_loss[0, 0])
+    res = mres.result
+    assert float(res.final_iou[0]) > 0.90
+    R_fit = np.asarray(G.rot6d_to_matrix(res.rot6d))[0]
+    ang = float(
+        G.rotation_angle_difference(
+            jnp.asarray(R_fit)[None], jnp.asarray(R_true)[None]
+        )[0]
+    )
+    assert ang < 12.0
+
+
+def test_refine_multihyp_k1_matches_refine_poses():
+    mesh = _mesh()
+    R_true = np.asarray(G.random_rotations(jax.random.PRNGKey(7), 1))[0]
+    target = _render_target(mesh, jnp.asarray(R_true), jnp.asarray([0.0, 0.0, 2.0]))
+    cfg = RF.RefineConfig(
+        num_iterations=10, lr=0.01, crop_size=SIZE, mode="coarse", face_chunk=12
+    )
+    targets = RF.FrameTargets(
+        target_masks=target[None], gt_feats=jnp.zeros((1, 4, 8)), K_rois=_K()[None]
+    )
+    R0 = jnp.asarray(R_true)[None]
+    t0 = jnp.asarray([[0.0, 0.0, 2.0]])
+    single = RF.refine_poses(mesh, targets, R0, t0, None, None, cfg)
+    multi = RF.refine_poses_multihyp(
+        mesh, targets, R0[:, None], t0[:, None], None, None, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(multi.result.rot6d), np.asarray(single.rot6d), atol=1e-6
+    )
+    assert int(multi.winner[0]) == 0

@@ -114,6 +114,69 @@ def test_gating_rejection_falls_back_to_previous():
     )
 
 
+def test_build_hypotheses_slots_flips_and_diversity():
+    rng = np.random.RandomState(0)
+    N, F, K = 50, 3, 5
+    priors = np.asarray(G.random_rotations(jax.random.PRNGKey(1), N), np.float32)
+    rot_init = priors[[2, 5, 9]]
+    sel = np.array([2, 5, -1], np.int32)
+    sil = rng.rand(F, N).astype(np.float32)
+    hyp = S.build_hypotheses(
+        jnp.asarray(rot_init), jnp.asarray(sel), jnp.asarray(priors), K,
+        sil_scores=jnp.asarray(sil), min_angle_deg=30.0,
+    )
+    rots = np.asarray(hyp.rotations)
+    idxs = np.asarray(hyp.indices)
+    assert rots.shape == (F, K, 3, 3) and idxs.shape == (F, K)
+    # Slot 0 = the gate pick exactly (reference behavior preserved).
+    np.testing.assert_allclose(rots[:, 0], rot_init, atol=1e-6)
+    np.testing.assert_array_equal(idxs[:, 0], [2, 5, -2])
+    for f in range(F):
+        # Slots 1/2 are the 180-degree flips of the gate pick.
+        for j in (1, 2):
+            assert idxs[f, j] == -1
+            ang = _angles_np(rots[f, 0], rots[f, j : j + 1])[0]
+            # arccos is ill-conditioned at cos=-1: f32 trace noise of ~1e-7
+            # moves the angle by ~0.02 deg.
+            np.testing.assert_allclose(ang, 180.0, atol=0.1)
+            # still a proper rotation
+            np.testing.assert_allclose(
+                rots[f, j] @ rots[f, j].T, np.eye(3), atol=1e-5
+            )
+            assert np.linalg.det(rots[f, j]) > 0.9
+        # Sil-retrieved slots are real prior indices, mutually diverse.
+        for j in (3, 4):
+            assert 0 <= idxs[f, j] < N
+            np.testing.assert_allclose(rots[f, j], priors[idxs[f, j]], atol=1e-6)
+        others = np.concatenate([rots[f, :3], rots[f, 3:4]])
+        ang4 = _angles_np(rots[f, 4], others).min()
+        # 50 random views: the diverse pool should not be exhausted.
+        assert ang4 >= 30.0 - 1e-3
+
+
+def test_build_hypotheses_k1_and_fps_fallback():
+    priors = np.asarray(G.random_rotations(jax.random.PRNGKey(2), 30), np.float32)
+    rot_init = priors[[4]]
+    sel = np.array([4], np.int32)
+    one = S.build_hypotheses(
+        jnp.asarray(rot_init), jnp.asarray(sel), jnp.asarray(priors), 1
+    )
+    assert np.asarray(one.rotations).shape == (1, 1, 3, 3)
+    np.testing.assert_allclose(np.asarray(one.rotations)[0, 0], priors[4], atol=1e-6)
+    # No sil channel: remaining slots fill by farthest-point sampling.
+    fps = S.build_hypotheses(
+        jnp.asarray(rot_init), jnp.asarray(sel), jnp.asarray(priors), 5,
+        sil_scores=None,
+    )
+    idxs = np.asarray(fps.indices)[0]
+    rots = np.asarray(fps.rotations)[0]
+    assert idxs[0] == 4 and idxs[1] == -1 and idxs[2] == -1
+    assert 0 <= idxs[3] < 30 and 0 <= idxs[4] < 30 and idxs[3] != idxs[4]
+    # FPS picks are far from everything chosen before them.
+    ang = _angles_np(rots[3], rots[:3]).min()
+    assert ang > 30.0
+
+
 def test_gate_frame_sequential_api():
     priors = G.random_rotations(jax.random.PRNGKey(3), 20)
     scores = jnp.asarray(np.random.RandomState(1).rand(20).astype(np.float32))

@@ -5,15 +5,24 @@ Times DINO ViT-B/14 forward+backward (grad w.r.t. the INPUT IMAGE, weights
 frozen — the fine sem-loss pattern, refine.py) at 8 x 518^2 bf16 under
 remat="frozen", for:
 
-  * attn_impl="xla"  (einsum + f32 softmax, fused by XLA — round-2 winner)
-  * attn_impl="flash" at several Pallas tile sizes (round 2 rejected the
-    default-512 padding config; round 3 retests 128/256 tiles with
-    segment-id padding 1370 -> 1408)
+  * attn_impl="xla"   (einsum + hand-written bf16 softmax, fused by XLA —
+    the round-2 winner and still the default after round 4)
+  * attn_impl="flash" at Pallas tile sizes 128/256/704 (round 2 rejected
+    the default-512 padding config; round 3 retested with segment-id
+    padding 1370 -> 1408)
+  * attn_impl="splash" at block sizes 128/256/512/768, each also with
+    splash_fused_bwd=True at 512/768 (the fused dq+dkv backward kernel) —
+    round-4 additions; blk=768 fused-bwd is splash's best and only TIES
+    the xla path (BASELINE.md round-4 table)
 
 Also prints the max |Δ| of the loss gradient vs the xla path (bf16 noise
 expected, structural mismatch would be >> 1e-2).
 
     python tools/probe_vit_attention.py [--frames 8] [--edge 518]
+
+Env: DYNHOR_PROBE_ONLY="name1;name2" runs only the named variants
+(exact-match against the labels above); 'xla' is always kept as the
+gradient baseline.
 """
 from __future__ import annotations
 
@@ -79,14 +88,14 @@ def main() -> None:
         ("flash blk=128", dataclasses.replace(cfg0, attn_impl="flash", flash_block=128)),
         ("flash blk=256", dataclasses.replace(cfg0, attn_impl="flash", flash_block=256)),
         ("flash blk=704", dataclasses.replace(cfg0, attn_impl="flash", flash_block=704)),
-        ("splash blk=128", dataclasses.replace(cfg0, attn_impl="splash", flash_block=128)),
-        ("splash blk=256", dataclasses.replace(cfg0, attn_impl="splash", flash_block=256)),
-        ("splash blk=512", dataclasses.replace(cfg0, attn_impl="splash", flash_block=512)),
-        ("splash blk=768", dataclasses.replace(cfg0, attn_impl="splash", flash_block=768)),
+        ("splash blk=128", dataclasses.replace(cfg0, attn_impl="splash", splash_block=128)),
+        ("splash blk=256", dataclasses.replace(cfg0, attn_impl="splash", splash_block=256)),
+        ("splash blk=512", dataclasses.replace(cfg0, attn_impl="splash", splash_block=512)),
+        ("splash blk=768", dataclasses.replace(cfg0, attn_impl="splash", splash_block=768)),
         ("splash blk=512 fused-bwd", dataclasses.replace(
-            cfg0, attn_impl="splash", flash_block=512, splash_fused_bwd=True)),
+            cfg0, attn_impl="splash", splash_block=512, splash_fused_bwd=True)),
         ("splash blk=768 fused-bwd", dataclasses.replace(
-            cfg0, attn_impl="splash", flash_block=768, splash_fused_bwd=True)),
+            cfg0, attn_impl="splash", splash_block=768, splash_fused_bwd=True)),
     ]
     if os.environ.get("DYNHOR_PROBE_ONLY"):
         keep = os.environ["DYNHOR_PROBE_ONLY"].split(";")
