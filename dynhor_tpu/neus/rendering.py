@@ -52,6 +52,16 @@ class RenderConfig:
     n_candidates: int = 192  # occgrid: uniform probe points per ray
     n_occ_samples: int = 64  # occgrid: final section count per ray
     occ_res: int = 64  # occupancy grid resolution per axis
+    # Transmittance "early exit", TPU-shaped: alpha/acc come from the SDF at
+    # every section, but the gradient + color MLPs (the two most expensive
+    # per-section evaluations, and the only second-order autodiff in the
+    # step) run only at the n_shade sections with the largest composite
+    # weight per ray — a static-shape top-k compaction instead of CUDA-style
+    # per-ray loop breaks.  Selected weights are renormalized to the full
+    # weight sum so the dropped tail does not darken the render.  0 = dense.
+    # Measured (BASELINE.md round 5): 16 -> 45.7K rays/s (dense 30.5K) at
+    # equal-or-better PSNR/Chamfer on the 12-view shoes recon.
+    n_shade: int = 16
 
 
 class Rays(NamedTuple):
@@ -134,13 +144,17 @@ def _neus_alpha(sdf: Array, dists: Array, s: Array) -> Array:
 
 
 def up_sample(
-    params, cfg: SDFConfig, rays: Rays, t: Array, n_new: int, s_fixed: float,
-    key: Array | None,
-) -> Array:
+    params, cfg: SDFConfig, rays: Rays, t: Array, sdf: Array, n_new: int,
+    s_fixed: float, key: Array | None,
+) -> tuple[Array, Array]:
     """One NeuS importance round: weights from a FIXED inv-std ladder, then
-    inverse-CDF sampling; returns merged, sorted t values."""
-    pts = rays.origins[:, None, :] + t[..., None] * rays.dirs[:, None, :]
-    sdf, _ = sdf_forward(params, pts, cfg)
+    inverse-CDF sampling; returns merged, sorted (t, sdf) values.
+
+    SDF values are threaded THROUGH the rounds: each round evaluates the
+    field only at its n_new fresh points and merge-sorts them into the
+    carried (t, sdf) set, instead of re-evaluating every point every round
+    (4-round default: 64+16x4 = 128 evals instead of 64+80+96+112 = 352).
+    """
     alpha = _neus_alpha(sdf, None, s_fixed)
     trans = jnp.cumprod(
         jnp.concatenate([jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-7], axis=-1),
@@ -153,8 +167,15 @@ def up_sample(
     # values AT the samples, not through where the sampler placed them.
     # Also removes 4 rounds of SDF evals from the backward graph (and a
     # fusion that SIGILLs this TPU toolchain on the hash path).
-    return jax.lax.stop_gradient(
-        jnp.sort(jnp.concatenate([t, t_new], axis=-1), axis=-1)
+    t_new = jax.lax.stop_gradient(t_new)
+    pts_new = rays.origins[:, None, :] + t_new[..., None] * rays.dirs[:, None, :]
+    sdf_new, _ = sdf_forward(params, pts_new, cfg)
+    t_all = jnp.concatenate([t, t_new], axis=-1)
+    sdf_all = jnp.concatenate([sdf, jax.lax.stop_gradient(sdf_new)], axis=-1)
+    order = jnp.argsort(t_all, axis=-1)
+    return (
+        jnp.take_along_axis(t_all, order, axis=-1),
+        jnp.take_along_axis(sdf_all, order, axis=-1),
     )
 
 
@@ -245,11 +266,22 @@ def render_rays(
             lower = jnp.concatenate([t[..., :1], mids], axis=-1)
             t = lower + (upper - lower) * jax.random.uniform(k_strat, t.shape)
 
-        # Hierarchical importance rounds with doubling fixed inv-std.
-        n_per = rcfg.n_importance // max(rcfg.up_sample_steps, 1)
-        for i in range(rcfg.up_sample_steps):
-            kk = None if k_imp is None else jax.random.fold_in(k_imp, i)
-            t = up_sample(params, sdf_cfg, rays, t, n_per, rcfg.s_base * (2**i), kk)
+        # Hierarchical importance rounds with doubling fixed inv-std; the
+        # coarse SDF is evaluated once and threaded through the rounds
+        # (each round adds only its fresh points — see up_sample).
+        if rcfg.up_sample_steps > 0 and rcfg.n_importance > 0:
+            pts_c = (
+                rays.origins[:, None, :] + t[..., None] * rays.dirs[:, None, :]
+            )
+            sdf_c = jax.lax.stop_gradient(sdf_forward(params, pts_c, sdf_cfg)[0])
+            n_per = rcfg.n_importance // max(rcfg.up_sample_steps, 1)
+            for i in range(rcfg.up_sample_steps):
+                kk = None if k_imp is None else jax.random.fold_in(k_imp, i)
+                t, sdf_c = up_sample(
+                    params, sdf_cfg, rays, t, sdf_c, n_per,
+                    rcfg.s_base * (2**i), kk,
+                )
+            t = jax.lax.stop_gradient(t)
 
     # Section compositing at the final t set.
     pts = rays.origins[:, None, :] + t[..., None] * rays.dirs[:, None, :]
@@ -263,22 +295,41 @@ def render_rays(
     weights = alpha * trans  # (N, M-1)
 
     mid_t = 0.5 * (t[..., 1:] + t[..., :-1])
+    mid_feat = 0.5 * (feat[..., 1:, :] + feat[..., :-1, :])
+    depth = jnp.sum(weights * mid_t, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+
+    n_sec = weights.shape[-1]
+    w_shade = weights
+    if 0 < rcfg.n_shade < n_sec:
+        # Transmittance early exit (see RenderConfig.n_shade): gradient +
+        # color MLPs only at the top-k weighted sections.  Indices are
+        # data-dependent but constant w.r.t. autodiff (selection is not
+        # differentiated, like the sampler's stop_gradient'd positions).
+        _, sel = jax.lax.top_k(jax.lax.stop_gradient(weights), rcfg.n_shade)
+        w_sel = jnp.take_along_axis(weights, sel, axis=-1)  # (N, k)
+        # Renormalize so the selected mass composites to the full acc —
+        # keeps early training (diffuse weights) unbiased instead of dark.
+        scale = jnp.sum(weights, axis=-1, keepdims=True) / jnp.maximum(
+            jnp.sum(w_sel, axis=-1, keepdims=True), 1e-6
+        )
+        w_shade = w_sel * scale
+        mid_t = jnp.take_along_axis(mid_t, sel, axis=-1)
+        mid_feat = jnp.take_along_axis(mid_feat, sel[..., None], axis=-2)
+
     mid_pts = rays.origins[:, None, :] + mid_t[..., None] * rays.dirs[:, None, :]
-    grads = sdf_grad(params, mid_pts, sdf_cfg)  # (N, M-1, 3)
+    grads = sdf_grad(params, mid_pts, sdf_cfg)  # (N, K, 3)
     # Smooth normalization (see safe_normalize): generous eps because the
     # 1/|grad| backward on plateau samples otherwise dominates/NaNs the
     # normal-supervised gradient.
     normals = safe_normalize(grads, eps=0.05)
-    mid_feat = 0.5 * (feat[..., 1:, :] + feat[..., :-1, :])
     dirs = jnp.broadcast_to(rays.dirs[:, None, :], mid_pts.shape)
     rgb_samples = color_forward(
         params["color"], mid_pts, dirs, normals, mid_feat, sdf_cfg
     )
 
-    rgb = jnp.sum(weights[..., None] * rgb_samples, axis=-2)
-    depth = jnp.sum(weights * mid_t, axis=-1)
-    acc = jnp.sum(weights, axis=-1)
-    normal = jnp.sum(weights[..., None] * normals, axis=-2)
+    rgb = jnp.sum(w_shade[..., None] * rgb_samples, axis=-2)
+    normal = jnp.sum(w_shade[..., None] * normals, axis=-2)
     surf = rays.origins + depth[..., None] * rays.dirs
     eik = jnp.mean((safe_norm(grads)[..., 0] - 1.0) ** 2)
     return RenderOut(rgb, depth, acc, normal, eik, s, surf)

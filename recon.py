@@ -75,6 +75,7 @@ def main() -> None:
         n_candidates=int(rc.get("n_candidates", 192)),
         n_occ_samples=int(rc.get("n_occ_samples", 64)),
         occ_res=int(rc.get("occ_res", 64)),
+        n_shade=int(rc.get("n_shade", 16)),
     )
     tcfg = T.TrainConfig(
         num_steps=int(rc.get("num_steps", 20000)),

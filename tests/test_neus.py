@@ -118,6 +118,46 @@ def test_render_rays_on_sphere_init():
     assert np.isfinite(float(out.eikonal))
 
 
+def test_render_rays_shade_compaction_matches_dense():
+    """n_shade top-k compaction ~= dense shading once weights concentrate.
+
+    The geometric-init sphere gives a sharp weight peak at the surface, so
+    the top-24 sections carry essentially all composite mass; rgb/normal
+    from the compacted path must match dense shading, and acc/depth (full
+    weights by construction) must be identical.
+    """
+    cfg = _small_cfg()
+    params = F.init_field_params(jax.random.PRNGKey(0), cfg)
+    # Sharpen inv_s so weights concentrate (as they do during training).
+    params = dict(params)
+    params["variance"] = jnp.log(200.0) / 10.0
+    K = jnp.array([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]])
+    px = jnp.array([[50.0, 50.0], [30.0, 60.0], [0.0, 0.0]])
+    rays = R.rays_from_pose(px, K, jnp.eye(3), jnp.array([0.0, 0.0, 2.0]), bound=1.0)
+    dense = R.RenderConfig(
+        n_coarse=48, n_importance=16, up_sample_steps=2, perturb=False, n_shade=0
+    )
+    compact = R.RenderConfig(
+        n_coarse=48, n_importance=16, up_sample_steps=2, perturb=False, n_shade=24
+    )
+    out_d = R.render_rays(params, cfg, dense, rays)
+    out_c = R.render_rays(params, cfg, compact, rays)
+    np.testing.assert_allclose(np.asarray(out_c.acc), np.asarray(out_d.acc), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_c.depth), np.asarray(out_d.depth), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(out_c.rgb), np.asarray(out_d.rgb), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_c.normal), np.asarray(out_d.normal), atol=2e-3
+    )
+    # Gradients w.r.t. params must flow through the compacted path.
+    g = jax.grad(
+        lambda p: jnp.sum(R.render_rays(p, cfg, compact, rays).rgb)
+    )(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
 def test_marching_tetrahedra_sphere():
     n = 48
     xs = np.linspace(-1, 1, n)

@@ -37,7 +37,7 @@ def synthetic_data(frames=4, h=128, w=128):
     )
 
 
-def bench_encoder(encoder: str, batches, steps=20, table_size=None, sampler="neus"):
+def bench_encoder(encoder: str, batches, steps=20, table_size=None, sampler="neus", n_shade=16):
     from dynhor_tpu.neus.fields import SDFConfig
     from dynhor_tpu.neus.rendering import RenderConfig, occupancy_from_sdf
     from dynhor_tpu.neus import trainer as T
@@ -46,7 +46,7 @@ def bench_encoder(encoder: str, batches, steps=20, table_size=None, sampler="neu
     if table_size is not None:
         kw["hash_table_size"] = table_size
     sdf_cfg = SDFConfig(**kw)
-    rcfg = RenderConfig(sampler=sampler)
+    rcfg = RenderConfig(sampler=sampler, n_shade=n_shade)
     data = synthetic_data()
     results = {}
     for batch in batches:
@@ -95,11 +95,14 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--hash_table_size", type=int, default=None)
     ap.add_argument("--sampler", type=str, default="neus")
+    ap.add_argument("--n_shade", type=int, default=16,
+                    help="top-k shaded sections (0 = dense, the pre-round-5 path)")
     args = ap.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     best = {}
     for enc in args.encoders:
-        r = bench_encoder(enc, args.batches, args.steps, args.hash_table_size, args.sampler)
+        r = bench_encoder(enc, args.batches, args.steps, args.hash_table_size,
+                          args.sampler, args.n_shade)
         best[enc] = max(r.values())
     for enc, v in best.items():
         print(f"BEST {enc}: {v / 1000.0:.1f}K rays/s/chip")
