@@ -74,6 +74,17 @@ DEFAULTS: dict[str, Any] = {
             "sil_retrieval": True,  # silhouette-IoU channel fills spare slots
             "min_angle_deg": 30.0,  # diversity radius among hypotheses
             "tournament_iters": 25,  # steps before winner selection (None=full)
+            # Winner selection: "viterbi" = temporally-consistent path over
+            # the (frames x K) lattice (unary = z-normed loss, pairwise =
+            # smooth_weight x geodesic deg between refined neighbours) —
+            # resolves silhouette-flip ties per-frame loss cannot;
+            # "loss" = per-frame argmin (r4 behavior).
+            "select": "viterbi",
+            "smooth_weight": 0.0222,  # loss-sigmas per degree (1/45)
+            # Extra tournament rounds re-seeding each frame's slots from
+            # its neighbours' current winners (tracking prior): a frame
+            # whose hypothesis set missed the true pose inherits it.
+            "propagate_rounds": 1,
         },
         "crop_size": 256,  # constants.py:2
         "bbox_expansion": 0.3,  # constants.py:3

@@ -399,23 +399,41 @@ def track_sequence(
             joint_cap, joint_act = cap, act_cap
         with prof.phase("refine"):
             if hyp is not None:
+                prop_rounds = int(hypc.get("propagate_rounds", 1))
                 mres = RF.refine_poses_multihyp(
                     mesh_arrays, targets, hyp.rotations, trans_hyp,
                     dino_params, dino_cfg, refine_cfg,
                     tournament_iters=hypc.get("tournament_iters", 25),
+                    select=str(hypc.get("select", "viterbi")),
+                    smooth_weight=float(hypc.get("smooth_weight", 1.0 / 45.0)),
+                    propagate_rounds=prop_rounds,
                 )
                 res = mres.result
                 win = np.asarray(mres.winner)
                 hyp_src = np.asarray(hyp.indices)
                 n_non_gate = int((win != 0).sum())
-                print(
-                    f"[hypotheses] {num_init} inits/frame; winner slots "
-                    f"{win.tolist()} (0=gate, src idx "
-                    f"{hyp_src[np.arange(len(win)), win].tolist()}); "
-                    f"{n_non_gate}/{len(win)} frames changed init",
-                    flush=True,
-                )
-                sel_idx = hyp_src[np.arange(len(win)), win]
+                if prop_rounds > 0:
+                    # After propagation the slots index the NEIGHBOUR-seeded
+                    # set (0 = own previous winner), not the original
+                    # hypothesis views — a source-view index is meaningless.
+                    print(
+                        f"[hypotheses] {num_init} inits/frame + {prop_rounds}"
+                        f" propagation round(s); final winner slots "
+                        f"{win.tolist()} (0=own winner, 1..=neighbour"
+                        f" winners); {n_non_gate}/{len(win)} frames took a"
+                        " neighbour's pose",
+                        flush=True,
+                    )
+                    sel_idx = np.asarray(gate.selected_idx)
+                else:
+                    print(
+                        f"[hypotheses] {num_init} inits/frame; winner slots "
+                        f"{win.tolist()} (0=gate, src idx "
+                        f"{hyp_src[np.arange(len(win)), win].tolist()}); "
+                        f"{n_non_gate}/{len(win)} frames changed init",
+                        flush=True,
+                    )
+                    sel_idx = hyp_src[np.arange(len(win)), win]
             else:
                 res = RF.refine_poses(
                     mesh_arrays, targets, rot_init, trans_init, dino_params,

@@ -312,6 +312,66 @@ class MultiHypResult(NamedTuple):
     tournament_loss: Array  # (B, K) per-hypothesis loss at selection time
 
 
+def _viterbi_select(rots_row, losses, smooth_weight: float = 1.0 / 45.0):
+    """Temporally-consistent winner selection over the hypothesis lattice.
+
+    Per-frame ``argmin(loss)`` cannot disambiguate silhouette-preserving
+    pose families (a near-symmetric object renders the same mask at R and
+    its 180-degree flip, and the semantic term is weak without pretrained
+    features) — measured on shoes2: 8/10 frames stuck ~165 deg off while
+    2 frames found the true pose at an equal loss.  A video's TRUE pose
+    track is smooth, so the winner is chosen per sequence, not per frame:
+    dynamic programming over the (F, K) lattice with
+
+      unary(f, k)     = per-frame loss gap (L - min over slots), scaled
+                        by the MEDIAN positive gap across the whole
+                        lattice and clipped at 6 so one diverged
+                        hypothesis cannot dominate.  The scale must be
+                        global, not per-frame: a per-frame z-score with
+                        K=2 maps EVERY gap to exactly 2 sigma (std of two
+                        values is half their gap), erasing the difference
+                        between a noise-level tie and a decisive signal;
+      pairwise(f,i,j) = geodesic angle between consecutive frames' REFINED
+                        hypothesis poses, in degrees x ``smooth_weight``
+                        (default 1/45: a 180-deg flip between neighbours
+                        costs 4 units — decisive vs the ~1-unit loss gap
+                        of a symmetric-flip tie, overridable by a slot
+                        that is uniformly better across frames).
+
+    Host-side numpy Viterbi: F<=~40 frames, K<=8 hypotheses — microseconds.
+    The reference has no analogue (it refines exactly one init per frame);
+    this is the TPU-side mitigation for gate misses, VERDICT r4 next #1.
+    """
+    import numpy as np
+
+    R = np.asarray(rots_row, np.float64)  # (B, K, 3, 3)
+    L = np.asarray(losses, np.float64)  # (B, K)
+    b, k = L.shape
+    if b == 1 or k == 1:
+        return jnp.argmin(jnp.asarray(L), axis=1).astype(jnp.int32)
+    gaps = L - L.min(axis=1, keepdims=True)  # (B, K), >= 0
+    pos = gaps[gaps > 1e-12]
+    sigma = float(np.median(pos)) if pos.size else 1.0
+    unary = np.clip(gaps / sigma, 0.0, 6.0)  # (B, K)
+    # trace(A B^T) = sum(A * B) -> geodesic angle between hyp poses of
+    # consecutive frames: ang[f, i, j] = angle(R[f, i], R[f+1, j]).
+    tr = np.einsum("fiab,fjab->fij", R[:-1], R[1:])
+    ang = np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    pair = smooth_weight * ang  # (B-1, K, K)
+
+    best = unary[0].copy()
+    back = np.zeros((b, k), np.int32)
+    for f in range(1, b):
+        tot = best[:, None] + pair[f - 1]  # (K_prev, K)
+        back[f] = np.argmin(tot, axis=0)
+        best = tot.min(axis=0) + unary[f]
+    win = np.zeros(b, np.int32)
+    win[-1] = int(np.argmin(best))
+    for f in range(b - 1, 0, -1):
+        win[f - 1] = back[f, win[f]]
+    return jnp.asarray(win, jnp.int32)
+
+
 def refine_poses_multihyp(
     mesh: MeshArrays,
     targets: FrameTargets,
@@ -322,6 +382,9 @@ def refine_poses_multihyp(
     cfg: RefineConfig = RefineConfig(),
     tournament_iters: int | None = None,
     iters_per_launch: int = 25,
+    select: str = "viterbi",
+    smooth_weight: float = 1.0 / 45.0,
+    propagate_rounds: int = 0,
 ) -> MultiHypResult:
     """Multi-hypothesis refinement: K inits per frame, winner by final loss.
 
@@ -343,7 +406,25 @@ def refine_poses_multihyp(
       tournament_iters: steps before winner selection (None/0 or
         >= num_iterations = refine every hypothesis to the full count and
         select at the end — highest quality, full K x cost).
+      select: "viterbi" (default) picks the temporally-consistent winner
+        path over the whole sequence (_viterbi_select); "loss" is the
+        per-frame argmin (the r4 behavior — keeps silhouette-flip ties).
+      smooth_weight: Viterbi pairwise weight, loss-sigmas per degree of
+        consecutive-frame pose disagreement.
+      propagate_rounds: extra tournament rounds where each frame's
+        hypothesis slots are RE-SEEDED from its neighbours' current
+        PER-FRAME-ARGMIN winners (slot 0 = own winner, then frames f-1,
+        f+1, f-2, ... up to K slots, each with the frame's own winner
+        translation).  A frame whose original hypothesis set contained
+        nothing near the true pose inherits it from a neighbour that
+        found it — the tracking prior the per-frame reference never
+        exploits.  Seeding deliberately ignores ``select``: the Viterbi
+        path is one consistent family, and seeding every frame from it
+        would erase the minority frames that disagree; the temporal
+        prior is applied once, at the final selection.
     """
+    import numpy as np
+
     b, k = rot_inits_row.shape[:2]
     if k == 1:
         res = refine_poses(
@@ -358,18 +439,64 @@ def refine_poses_multihyp(
     t_iters = min(max(int(t_iters), 1), total)
     cfg_t = dataclasses.replace(cfg, num_iterations=t_iters)
 
-    results, states = [], []
-    for j in range(k):
-        r, st = refine_poses(
-            mesh, targets, rot_inits_row[:, j], trans_inits[:, j],
-            dino_params, dino_cfg, cfg_t, iters_per_launch,
-            return_state=True,
-        )
-        results.append(r)
-        states.append(st)
+    def tournament(rots_bk, trans_bk):
+        results, states = [], []
+        for j in range(k):
+            r, st = refine_poses(
+                mesh, targets, rots_bk[:, j], trans_bk[:, j],
+                dino_params, dino_cfg, cfg_t, iters_per_launch,
+                return_state=True,
+            )
+            results.append(r)
+            states.append(st)
+        losses = jnp.stack([r.final_loss for r in results], axis=1)  # (B, K)
+        rots = jnp.stack(
+            [G.rot6d_to_matrix(r.rot6d) for r in results], axis=1
+        )  # (B, K, 3, 3)
+        return results, states, losses, rots
 
-    losses = jnp.stack([r.final_loss for r in results], axis=1)  # (B, K)
-    win = jnp.argmin(losses, axis=1).astype(jnp.int32)  # (B,)
+    def final_select(rots, losses):
+        if select == "viterbi":
+            return _viterbi_select(rots, losses, smooth_weight)
+        return jnp.argmin(losses, axis=1).astype(jnp.int32)
+
+    results, states, losses, rots_ref = tournament(rot_inits_row, trans_inits)
+
+    for _ in range(max(int(propagate_rounds), 0)):
+        # Propagation seeds use the PER-FRAME argmin, not the Viterbi path:
+        # the Viterbi winner is one consistent family for the whole
+        # sequence, and seeding every frame from it would discard the
+        # minority frames whose best-loss hypothesis disagrees — exactly
+        # the frames that rescue the rest when the consistent family is
+        # the wrong one.  Argmin seeding spreads each frame's own loss
+        # evidence to its neighbours; the temporal prior enters only at
+        # the FINAL selection below, once every frame has seen its
+        # neighbours' candidates.
+        win_np = np.asarray(jnp.argmin(losses, axis=1))
+        rots_np = np.asarray(rots_ref, np.float32)  # (B, K, 3, 3)
+        win_rot = rots_np[np.arange(b), win_np]  # (B, 3, 3)
+        trans_all = jnp.stack(
+            [r.translations[:, 0] for r in results], axis=1
+        )  # (B, K, 3)
+        win_trans = np.asarray(trans_all, np.float32)[np.arange(b), win_np]
+        # Neighbour offsets 0, -1, +1, -2, +2, ... clamped to the sequence.
+        offs = [0]
+        d = 1
+        while len(offs) < k:
+            offs.append(-d)
+            if len(offs) < k:
+                offs.append(d)
+            d += 1
+        prop_rots = np.stack(
+            [win_rot[np.clip(np.arange(b) + o, 0, b - 1)] for o in offs],
+            axis=1,
+        )  # (B, K, 3, 3) — rotation from the neighbour's winner,
+        prop_trans = np.repeat(win_trans[:, None], k, axis=1)  # own trans
+        results, states, losses, rots_ref = tournament(
+            jnp.asarray(prop_rots), jnp.asarray(prop_trans)
+        )
+
+    win = final_select(rots_ref, losses)
 
     def pick(*xs):
         x0 = xs[0]

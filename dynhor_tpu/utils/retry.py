@@ -11,6 +11,16 @@ from __future__ import annotations
 import time
 
 
+# Error substrings that mark a TRANSIENT infrastructure fault (safe to
+# retry the identical launch): the runtime watchdog killing a healthy
+# program, and the remote-compile tunnel dropping a response mid-body
+# (observed 2026-08-20: "INTERNAL: .../remote_compile: read body:
+# response body closed before all bytes were read" on an otherwise
+# healthy pipeline).  Genuine program faults (OOM, SIGILL, shape errors)
+# match neither and raise immediately.
+_TRANSIENT_MARKERS = ("UNAVAILABLE", "remote_compile")
+
+
 def retry_on_device_error(fn, *args, retries: int = 2, backoff_s: float = 5.0, tag: str = "launch", **kwargs):
     """Call ``fn(*args, **kwargs)``, retrying on jax device errors."""
     from jax.errors import JaxRuntimeError
@@ -20,7 +30,8 @@ def retry_on_device_error(fn, *args, retries: int = 2, backoff_s: float = 5.0, t
         try:
             return fn(*args, **kwargs)
         except JaxRuntimeError as e:  # pragma: no cover - device-only path
-            if "UNAVAILABLE" not in str(e) or attempt == retries:
+            transient = any(m in str(e) for m in _TRANSIENT_MARKERS)
+            if not transient or attempt == retries:
                 raise
             last = e
             print(

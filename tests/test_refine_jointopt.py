@@ -267,3 +267,108 @@ def test_refine_multihyp_k1_matches_refine_poses():
         np.asarray(multi.result.rot6d), np.asarray(single.rot6d), atol=1e-6
     )
     assert int(multi.winner[0]) == 0
+
+
+def _rot_z(deg):
+    c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def test_viterbi_select_resolves_symmetric_flip_ties():
+    """Per-frame argmin cannot disambiguate a silhouette-preserving flip
+    (equal losses up to noise); the Viterbi path must pick the slot family
+    that is temporally consistent — the measured shoes2 failure mode."""
+    rng = np.random.default_rng(0)
+    F = 8
+    # Slot 0: a smooth true track; slot 1: its 180-deg flip (also smooth,
+    # but frames 2 and 5 get a DIFFERENT flip axis, so the flip family is
+    # inconsistent with itself across those frames).
+    base = [np.asarray(G.rot6d_to_matrix(G.matrix_to_rot6d(
+        jnp.asarray(_rot_z(3.0 * f))[None]))[0]) for f in range(F)]
+    flip_x = np.diag([1.0, -1.0, -1.0]).astype(np.float32)
+    flip_y = np.diag([-1.0, 1.0, -1.0]).astype(np.float32)
+    rots = np.zeros((F, 2, 3, 3), np.float32)
+    for f in range(F):
+        rots[f, 0] = base[f]
+        rots[f, 1] = base[f] @ (flip_y if f in (2, 5) else flip_x)
+    # Losses: statistically identical; noise makes argmin pick slot 1 on
+    # half the frames.
+    losses = np.full((F, 2), 1.0, np.float32) + 0.01 * rng.standard_normal((F, 2)).astype(np.float32)
+    argmin = np.argmin(losses, axis=1)
+    assert argmin.min() != argmin.max(), "fixture must have mixed argmin"
+    win = np.asarray(RF._viterbi_select(jnp.asarray(rots), jnp.asarray(losses)))
+    assert (win == win[0]).all(), f"viterbi path not consistent: {win}"
+
+
+def test_viterbi_select_respects_strong_loss_signal():
+    """A decisive loss gap must beat mild temporal inconsistency: slot 1
+    has far lower loss everywhere even though its track wobbles a little."""
+    F = 6
+    rots = np.zeros((F, 2, 3, 3), np.float32)
+    for f in range(F):
+        rots[f, 0] = np.eye(3, dtype=np.float32)  # perfectly smooth
+        rots[f, 1] = _rot_z(10.0 * ((-1) ** f))  # wobbles +-10 deg
+    losses = np.stack(
+        [np.full(F, 5.0, np.float32), np.full(F, 1.0, np.float32)], axis=1
+    )
+    win = np.asarray(RF._viterbi_select(jnp.asarray(rots), jnp.asarray(losses)))
+    assert (win == 1).all(), f"strong loss signal overridden: {win}"
+
+
+def _mesh_asym():
+    """Tapered box: the +z face shrunk 0.5x in x / 0.65x in y.  The plain
+    box's silhouette is near-invariant under its D2 symmetries, so a far
+    init can converge to a flip with loss EQUAL to the truth — correct
+    per the cost model, but useless for a test that needs the loss to
+    identify the true pose.  The taper breaks every such symmetry."""
+    mesh = _mesh()
+    v = np.asarray(mesh.verts).copy()
+    v[4:, 0] *= 0.5
+    v[4:, 1] *= 0.65
+    return mesh._replace(verts=jnp.asarray(v))
+
+
+def test_multihyp_propagation_rescues_frame_with_no_good_hypothesis():
+    """3 frames, K=2: the middle frame's BOTH hypotheses are ~95 deg off
+    (unrecoverable), its neighbours' slot-1 hypotheses are near the truth.
+    propagate_rounds=1 must re-seed the middle frame from a neighbour's
+    winner and recover the pose there too."""
+    mesh = _mesh_asym()
+    R_true = np.asarray(G.random_rotations(jax.random.PRNGKey(3), 1))[0]
+    t_true = np.array([0.02, -0.01, 2.0], np.float32)
+    target = _render_target(mesh, jnp.asarray(R_true), jnp.asarray(t_true))
+    dR = np.asarray(
+        G.rot6d_to_matrix(
+            G.matrix_to_rot6d(jnp.eye(3)[None])
+            + 0.08 * jax.random.normal(jax.random.PRNGKey(4), (1, 3, 2))
+        )
+    )[0]
+    R_near = (R_true @ dR).astype(np.float32)
+    R_far = (R_true @ _rot_z(95.0)).astype(np.float32)
+    R_far2 = (R_true @ _rot_z(-100.0)).astype(np.float32)
+    rot_inits = jnp.asarray(np.stack([
+        np.stack([R_far, R_near]),   # frame 0: slot 1 good
+        np.stack([R_far, R_far2]),   # frame 1: NOTHING good
+        np.stack([R_far, R_near]),   # frame 2: slot 1 good
+    ]))  # (3, 2, 3, 3)
+    t0 = t_true + np.array([0.06, -0.04, 0.1], np.float32)
+    trans_inits = jnp.asarray(np.tile(t0, (3, 2, 1)))
+    cfg = RF.RefineConfig(
+        num_iterations=150, lr=0.01, crop_size=SIZE, mode="coarse", face_chunk=12
+    )
+    targets = RF.FrameTargets(
+        target_masks=jnp.stack([target] * 3),
+        gt_feats=jnp.zeros((3, 4, 8)),
+        K_rois=jnp.stack([_K()] * 3),
+    )
+    mres = RF.refine_poses_multihyp(
+        mesh, targets, rot_inits, trans_inits, None, None, cfg,
+        tournament_iters=60, select="viterbi", propagate_rounds=1,
+    )
+    R_fit = np.asarray(G.rot6d_to_matrix(mres.result.rot6d))
+    ang = np.asarray(G.rotation_angle_difference(
+        jnp.asarray(R_fit), jnp.asarray(np.stack([R_true] * 3))
+    ))
+    assert ang[0] < 12.0 and ang[2] < 12.0, f"anchor frames off: {ang}"
+    assert ang[1] < 15.0, f"propagation failed to rescue middle frame: {ang}"
+    assert float(mres.result.final_iou[1]) > 0.88
