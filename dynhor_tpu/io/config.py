@@ -84,6 +84,11 @@ DEFAULTS: dict[str, Any] = {
             # Extra tournament rounds re-seeding each frame's slots from
             # its neighbours' current winners (tracking prior): a frame
             # whose hypothesis set missed the true pose inherits it.
+            # Conversion advances ~1 frame per round from the recovered
+            # prefix (a converted frame only seeds neighbours NEXT round),
+            # so use ~F/2 rounds when a full-sequence silhouette flip is
+            # suspected (shoes2: rounds 1/3/5 left 6/2/0 of 10 frames
+            # flipped — BASELINE.md round-5 multi-hypothesis table).
             "propagate_rounds": 1,
         },
         "crop_size": 256,  # constants.py:2

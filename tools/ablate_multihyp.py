@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--joint-iters", type=int, default=100)
     ap.add_argument("--views", type=int, default=500)
     ap.add_argument("--tournament", type=int, default=25)
+    ap.add_argument("--propagate-rounds", type=int, default=None,
+                    help="override system.hypotheses.propagate_rounds")
+    ap.add_argument("--smooth-weight", type=float, default=None,
+                    help="override system.hypotheses.smooth_weight")
+    ap.add_argument("--skip-k1", action="store_true",
+                    help="run only the multi-hypothesis arm")
     args = ap.parse_args()
 
     import numpy as np
@@ -79,11 +85,18 @@ def main() -> None:
         ),
     )
 
+    arms = [("gate-K1", 1), (f"multihyp-K{args.k}", args.k)]
+    if args.skip_k1:
+        arms = arms[1:]
     results = {}
-    for name, k in [("gate-K1", 1), (f"multihyp-K{args.k}", args.k)]:
+    for name, k in arms:
         c = copy.deepcopy(cfg)
         c["system"]["num_initializations"] = k
         c["system"]["hypotheses"]["tournament_iters"] = args.tournament
+        if args.propagate_rounds is not None:
+            c["system"]["hypotheses"]["propagate_rounds"] = args.propagate_rounds
+        if args.smooth_weight is not None:
+            c["system"]["hypotheses"]["smooth_weight"] = args.smooth_weight
         t0 = time.time()
         res = PL.track_sequence(c, seq, ann, mesh, dino_params=dparams, dino_cfg=dcfg)
         dt = time.time() - t0
@@ -101,7 +114,14 @@ def main() -> None:
             f"  after joint: mean {np.mean(np.asarray(joint_err)):.1f} deg",
             flush=True,
         )
+        print(
+            f"[{name}] per-frame joint rot err (deg): "
+            f"{np.round(np.asarray(joint_err), 1).tolist()}",
+            flush=True,
+        )
 
+    if args.skip_k1:
+        return
     a = results["gate-K1"]
     b = results[f"multihyp-K{args.k}"]
     print("\n=== multi-hypothesis ablation summary (record in BASELINE.md) ===")
