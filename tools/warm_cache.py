@@ -16,10 +16,17 @@ fresh process starts warm (VERDICT r4 next #6):
       python tools/warm_cache.py --config configs/custom_shoes.yaml
 
 * Dryrun mode: pre-compiles the multichip dryrun tiers on the virtual
-  CPU mesh (each mid-tier phase costs ~2 min of XLA:CPU compile; warmed,
-  the 4-phase tier fits the driver's 300 s budget):
+  CPU mesh (each mid-tier phase costs ~2 min of XLA:CPU compile):
 
       python tools/warm_cache.py --dryrun [--tiers 0 1] [--n-devices 8]
+
+  CAVEAT (measured round 5, BASELINE.md): XLA:CPU AOT cache entries
+  embed compile-time machine features (incl. +prefer-no-scatter/-gather
+  pseudo-features) that the loader's host probe lacks, so the BIG
+  sharded programs (mid joint/refine) recompile across processes anyway
+  — CPU-dryrun warming currently only helps the small phases.  The TPU
+  mode below is unaffected (the TPU cache round-trips correctly;
+  fresh-process e2e 347 s -> 104.5 s).
 """
 from __future__ import annotations
 
